@@ -1,0 +1,170 @@
+"""Polymorphic model configuration registry.
+
+YAML schema is identical to the reference's ModelConfig family
+(reference: speech_recognition/configs/model_config.py:10-125): the
+``model_name`` key dispatches to LASConfig / DeepSpeechConfig, and
+``create_model()`` instantiates the corresponding Flax model definition.
+"""
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import List
+
+import yaml
+
+from .data_config import ConfigValidationError, _check_literal, _check_type
+
+_RNN_TYPES = ("rnn", "lstm", "gru")
+
+
+class ModelConfig(ABC):
+    @abstractmethod
+    def create_model(self):
+        """Instantiate the Flax model definition for this config."""
+
+    @property
+    @abstractmethod
+    def model_name(self) -> str:
+        ...
+
+
+def get_model_config(model_config_path: str):
+    """Load a model config yaml and return the matching ModelConfig instance.
+
+    Dispatch mirrors reference model_config.py:20-36: ``ds2``/``deepspeech2``
+    -> DeepSpeechConfig, ``las`` -> LASConfig.
+    """
+    from ..utils.io import open_file
+
+    with open_file(model_config_path) as f:
+        model_config_dict = yaml.safe_load(f)
+
+    model_name = model_config_dict["model_name"].lower()
+    if model_name in ("ds2", "deepspeech2"):
+        return DeepSpeechConfig(**model_config_dict)
+    if model_name == "las":
+        return LASConfig(**model_config_dict)
+    raise ConfigValidationError(f"Model Name: {model_name} is invalid!")
+
+
+@dataclass
+class LASConfig(ModelConfig):
+    """Config for the LAS model (reference model_config.py:39-76)."""
+
+    # RNN Type: one of ['rnn', 'lstm', 'gru']
+    rnn_type: str
+    # Vocab Size
+    vocab_size: int
+    # Encoder Hidden Dimension
+    encoder_hidden_dim: int
+    # Decoder Hidden Dimension
+    decoder_hidden_dim: int
+    # Encoder Layers
+    num_encoder_layers: int
+    # Decoder Layers
+    num_decoder_layers: int
+    # Dropout Rate
+    dropout: float
+    # Teacher forcing rate
+    teacher_forcing_rate: float
+    # Pad Token ID
+    pad_id: int
+
+    model_name: str = "LAS"
+
+    def __post_init__(self):
+        _check_literal("rnn_type", self.rnn_type, _RNN_TYPES)
+        _check_type(
+            self,
+            "vocab_size",
+            "encoder_hidden_dim",
+            "decoder_hidden_dim",
+            "num_encoder_layers",
+            "num_decoder_layers",
+            "dropout",
+            "teacher_forcing_rate",
+            "pad_id",
+        )
+
+    def create_model(self):
+        from ..models import LAS
+
+        return LAS(
+            rnn_type=self.rnn_type,
+            vocab_size=self.vocab_size,
+            encoder_hidden_dim=self.encoder_hidden_dim,
+            decoder_hidden_dim=self.decoder_hidden_dim,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            dropout=self.dropout,
+            teacher_forcing_rate=self.teacher_forcing_rate,
+            pad_id=self.pad_id,
+        )
+
+
+@dataclass
+class DeepSpeechConfig(ModelConfig):
+    """Config for the DeepSpeech2 model (reference model_config.py:79-125)."""
+
+    # number of convolution layers
+    num_conv_layers: int
+    # number of channels for each layer
+    channels: List[int]
+    # filter size for each layer
+    kernel_sizes: List[List[int]]
+    # stride for each layer
+    strides: List[List[int]]
+    # type of rnn, one of ['rnn', 'lstm', 'gru']
+    rnn_type: str
+    # number of recurrent layers
+    num_reccurent_layers: int
+    # hidden dimension size of rnn
+    hidden_dim: int
+    # dropout rate
+    dropout: float
+    # recurrent dropout rate
+    recurrent_dropout: float
+    # size of vocabulary
+    vocab_size: int
+    # the index of the CTC blank token
+    blank_index: int
+    # the index of the pad token
+    pad_index: int
+
+    model_name: str = "DeepSpeech2"
+
+    def __post_init__(self):
+        _check_literal("rnn_type", self.rnn_type, _RNN_TYPES)
+        _check_type(
+            self,
+            "num_conv_layers",
+            "num_reccurent_layers",
+            "hidden_dim",
+            "dropout",
+            "recurrent_dropout",
+            "vocab_size",
+            "blank_index",
+            "pad_index",
+        )
+        if not (
+            self.num_conv_layers == len(self.channels) == len(self.kernel_sizes) == len(self.strides)
+        ):
+            raise ConfigValidationError("Convolution parameter number is invalid!")
+
+    def create_model(self):
+        from ..models import DeepSpeech2
+
+        return DeepSpeech2(
+            num_conv_layers=self.num_conv_layers,
+            channels=tuple(self.channels),
+            kernel_sizes=tuple(tuple(k) for k in self.kernel_sizes),
+            strides=tuple(tuple(s) for s in self.strides),
+            rnn_type=self.rnn_type,
+            num_reccurent_layers=self.num_reccurent_layers,
+            hidden_dim=self.hidden_dim,
+            dropout=self.dropout,
+            recurrent_dropout=self.recurrent_dropout,
+            vocab_size=self.vocab_size,
+            blank_index=self.blank_index,
+            pad_index=self.pad_index,
+        )
