@@ -129,13 +129,20 @@ class DataConfig:
             return self.num_mel_bins
         return self.num_mfcc
 
-    @property
-    def audio_feature_fn(self):
-        """A jit-compatible ``fn(audio_1d) -> [NumFrame, FrequencyDim, 1]`` feature fn."""
+    def make_audio_feature_fn(self, backend: str = "jax"):
+        """``fn(audio_1d) -> [NumFrame, FrequencyDim, 1]`` feature fn.
+
+        backend="jax": jit-compatible, for the fused on-device frontend.
+        backend="numpy": host per-example path (no XLA recompilation per length).
+        """
         from ..ops import features
 
+        import jax.numpy as jnp
+        import numpy as np
+
+        xp = jnp if backend == "jax" else np
         if self.audio_feature_type == "spectrogram":
-            return features.make_spectrogram(self.frame_length, self.frame_step, self.fft_length)
+            return features.make_spectrogram(self.frame_length, self.frame_step, self.fft_length, xp=xp)
         if self.audio_feature_type == "log-mel-spectrogram":
             return features.make_log_mel_spectrogram(
                 self.sample_rate,
@@ -145,6 +152,7 @@ class DataConfig:
                 self.num_mel_bins,
                 self.lower_edge_hertz,
                 self.upper_edge_hertz,
+                xp=xp,
             )
         return features.make_mfcc(
             self.sample_rate,
@@ -155,7 +163,16 @@ class DataConfig:
             self.num_mfcc,
             self.lower_edge_hertz,
             self.upper_edge_hertz,
+            xp=xp,
         )
+
+    @property
+    def audio_feature_fn(self):
+        return self.make_audio_feature_fn("jax")
+
+    @property
+    def audio_feature_fn_numpy(self):
+        return self.make_audio_feature_fn("numpy")
 
     def asdict(self) -> dict:
         from dataclasses import asdict

@@ -1,0 +1,182 @@
+"""Host-side dataset pipeline: tsv/TFRecord readers, length policies, batching.
+
+Replaces the reference's tf.data pipeline (reference: speech_recognition/
+data.py:12-79, 331-354 and the batching in run/train.py:174-197) with a
+plain-Python streaming pipeline: parallel audio decode + tokenize on the
+host, padded static-shape batches handed to the device.  Static shapes are
+the default (XLA discipline); optional length-bucketing reduces padding
+waste while keeping the number of distinct compiled shapes small.
+"""
+
+import csv
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import get_logger
+from ..utils.io import glob, is_remote, open_file
+from .audio import load_audio_file
+
+logger = get_logger(__name__)
+
+
+def read_tsv_rows(dataset_path: str) -> List[Tuple[str, str]]:
+    """Read (audio_path, text) rows from a headered tab-delimited tsv.
+
+    Audio paths are resolved relative to the tsv's directory, gs:// aware
+    (reference data.py:38-57).
+    """
+    if is_remote(dataset_path):
+        data_dir = os.path.dirname(dataset_path) + "/"
+    else:
+        data_dir = os.path.dirname(os.path.abspath(dataset_path)) + os.sep
+    rows = []
+    with open_file(dataset_path) as f:
+        reader = csv.reader(f, delimiter="\t", quoting=csv.QUOTE_NONE)
+        next(reader, None)  # header
+        for row in reader:
+            if len(row) >= 2:
+                rows.append((data_dir + row[0], row[1]))
+    return rows
+
+
+def get_dataset(
+    dataset_paths: str,
+    file_format: str,
+    sample_rate: int,
+    tokenizer,
+    shuffle: bool = False,
+    resample: Optional[int] = None,
+    num_workers: int = 8,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Stream (pcm_audio float32 [T], tokens int32 [N]) pairs from tsv files.
+
+    Mirrors reference get_dataset (data.py:12-61): glob tsvs, optional
+    file-order shuffle, per-row audio decode + tokenize.  Decode is
+    parallelized with a thread pool (numpy decode releases the GIL).
+    """
+    dataset_list = glob(dataset_paths)
+    if not dataset_list:
+        raise FileNotFoundError(f"no dataset files match {dataset_paths!r}")
+    if shuffle:
+        random.shuffle(dataset_list)
+
+    load_fn = load_audio_file(sample_rate, file_format, resample)
+
+    def _load(row):
+        path, text = row
+        return load_fn(path), np.asarray(tokenizer.tokenize(text), np.int32)
+
+    for tsv in dataset_list:
+        rows = read_tsv_rows(tsv)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            yield from pool.map(_load, rows)
+
+
+def get_tfrecord_dataset(dataset_paths: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Stream (features float32 [T,F,1], tokens int32 [N]) from TFRecords."""
+    from .tfrecord import read_example_dataset
+
+    return read_example_dataset(dataset_paths)
+
+
+# ------------------------------------------------------------- length policies
+def filter_example(max_audio_length: int, max_token_length: int):
+    """Drop examples longer than the max (reference data.py:331-341)."""
+
+    def _apply(dataset: Iterable) -> Iterator:
+        for audio, text in dataset:
+            if audio.shape[0] <= max_audio_length and text.shape[0] <= max_token_length:
+                yield audio, text
+
+    return _apply
+
+
+def slice_example(max_audio_length: int, max_token_length: int):
+    """Truncate examples longer than the max (reference data.py:344-354)."""
+
+    def _apply(dataset: Iterable) -> Iterator:
+        for audio, text in dataset:
+            yield audio[:max_audio_length], text[:max_token_length]
+
+    return _apply
+
+
+# ------------------------------------------------------------------ batching
+def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
+    pad = [(0, length - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def shuffle_stream(dataset: Iterable, buffer_size: int, seed: Optional[int] = None) -> Iterator:
+    """Reservoir-style shuffle with a bounded buffer (tf.data shuffle semantics)."""
+    rng = random.Random(seed)
+    buf = []
+    for item in dataset:
+        buf.append(item)
+        if len(buf) >= buffer_size:
+            idx = rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
+def padded_batch(
+    dataset: Iterable,
+    batch_size: int,
+    audio_pad_length: Optional[int],
+    token_pad_length: Optional[int],
+    drop_remainder: bool = False,
+    pad_to_batch: bool = False,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Batch (audio, tokens) into padded [B, T, ...] / [B, N] arrays.
+
+    With explicit pad lengths every batch has identical (static) shapes;
+    with None, pads to the longest element per batch (CPU/GPU-style dynamic
+    shapes, reference run/train.py:187-197).
+    ``pad_to_batch`` pads a short final batch up to batch_size with zero rows
+    (static batch dimension for TPU), reporting the true count.
+    """
+    batch: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def _emit(batch):
+        a_len = audio_pad_length or max(a.shape[0] for a, _ in batch)
+        t_len = token_pad_length or max(t.shape[0] for _, t in batch)
+        audio = np.stack([_pad_to(np.asarray(a, np.float32), a_len) for a, _ in batch])
+        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
+        if pad_to_batch and len(batch) < batch_size:
+            audio = np.concatenate([audio, np.zeros((batch_size - len(batch),) + audio.shape[1:], audio.dtype)])
+            tokens = np.concatenate([tokens, np.zeros((batch_size - len(batch),) + tokens.shape[1:], tokens.dtype)])
+        return audio, tokens
+
+    for item in dataset:
+        batch.append(item)
+        if len(batch) == batch_size:
+            yield _emit(batch)
+            batch = []
+    if batch and not drop_remainder:
+        yield _emit(batch)
+
+
+def map_stream(dataset: Iterable, fn: Callable) -> Iterator:
+    for item in dataset:
+        if isinstance(item, tuple):
+            yield fn(*item)
+        else:
+            yield fn(item)
+
+
+def repeat_stream(make_dataset: Callable[[], Iterable]) -> Iterator:
+    while True:
+        yield from make_dataset()
+
+
+def skip_stream(dataset: Iterable, count: int) -> Iterator:
+    it = iter(dataset)
+    for _ in range(count):
+        next(it, None)
+    return it

@@ -82,46 +82,50 @@ def linear_to_mel_weight_matrix(
     return mel_weights.astype(np.float32)
 
 
-def frame_signal(audio: jnp.ndarray, frame_length: int, frame_step: int) -> jnp.ndarray:
+def frame_signal(audio, frame_length: int, frame_step: int, xp=jnp):
     """Frame a 1-D signal into [num_frames, frame_length] (pad_end=False)."""
     num_samples = audio.shape[-1]
     num_frames = max((num_samples - frame_length) // frame_step + 1, 0)
     if num_frames <= 0:
-        return jnp.zeros(audio.shape[:-1] + (0, frame_length), audio.dtype)
+        return xp.zeros(audio.shape[:-1] + (0, frame_length), audio.dtype)
     starts = np.arange(num_frames) * frame_step
     idx = starts[:, None] + np.arange(frame_length)[None, :]
     return audio[..., idx]
 
 
-def stft(
-    audio: jnp.ndarray, frame_length: int, frame_step: int, fft_length: Optional[int] = None
-) -> jnp.ndarray:
+def stft(audio, frame_length: int, frame_step: int, fft_length: Optional[int] = None, xp=jnp):
     """Short-time Fourier transform matching tf.signal.stft semantics.
+
+    ``xp`` selects the array backend: jnp for the on-device path, np for the
+    host per-example pipeline (avoids per-length XLA recompilation).
 
     :param audio: [..., NumSamples] float signal
     :return: [..., NumFrames, fft_length // 2 + 1] complex64
     """
     if fft_length is None:
         fft_length = int(2 ** np.ceil(np.log2(frame_length)))
-    frames = frame_signal(audio, frame_length, frame_step)
-    window = jnp.asarray(hann_window(frame_length))
+    frames = frame_signal(audio, frame_length, frame_step, xp=xp)
+    window = xp.asarray(hann_window(frame_length))
     frames = frames * window
     # rfft zero-pads (or truncates) the last axis to fft_length, as tf does.
-    return jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    out = xp.fft.rfft(frames, n=fft_length, axis=-1)
+    if xp is np:
+        out = out.astype(np.complex64)
+    return out
 
 
 def _with_channel(feature: jnp.ndarray) -> jnp.ndarray:
     return feature[..., None]
 
 
-def make_spectrogram(frame_length: int, frame_step: int, fft_length: Optional[int] = None):
+def make_spectrogram(frame_length: int, frame_step: int, fft_length: Optional[int] = None, xp=jnp):
     """Magnitude spectrogram feature fn (reference data.py:122-142).
 
     Returns fn(audio [NumSamples]) -> [NumFrame, fft_length//2+1, 1].
     """
 
-    def _fn(audio: jnp.ndarray, text=None):
-        spectrogram = jnp.abs(stft(audio, frame_length, frame_step, fft_length)).astype(jnp.float32)
+    def _fn(audio, text=None):
+        spectrogram = xp.abs(stft(audio, frame_length, frame_step, fft_length, xp=xp)).astype(xp.float32)
         spectrogram = _with_channel(spectrogram)
         return spectrogram if text is None else (spectrogram, text)
 
@@ -137,6 +141,7 @@ def make_log_mel_spectrogram(
     lower_edge_hertz: float = 80.0,
     upper_edge_hertz: float = 7600.0,
     epsilon: float = 1e-12,
+    xp=jnp,
 ):
     """Log-mel spectrogram feature fn (reference data.py:145-189).
 
@@ -147,11 +152,11 @@ def make_log_mel_spectrogram(
         num_mel_bins, fft_length // 2 + 1, sample_rate, lower_edge_hertz, upper_edge_hertz
     )
 
-    def _fn(audio: jnp.ndarray, text=None):
-        magnitude = jnp.abs(stft(audio, frame_length, frame_step, fft_length)).astype(jnp.float32)
-        power = jnp.square(magnitude)
-        mel = power @ jnp.asarray(mel_filterbank)
-        log_mel = _with_channel(jnp.log(mel + epsilon))
+    def _fn(audio, text=None):
+        magnitude = xp.abs(stft(audio, frame_length, frame_step, fft_length, xp=xp)).astype(xp.float32)
+        power = xp.square(magnitude)
+        mel = power @ xp.asarray(mel_filterbank)
+        log_mel = _with_channel(xp.log(mel + epsilon))
         return log_mel if text is None else (log_mel, text)
 
     return _fn
@@ -179,6 +184,7 @@ def make_mfcc(
     lower_edge_hertz: float = 80.0,
     upper_edge_hertz: float = 7600.0,
     epsilon: float = 1e-12,
+    xp=jnp,
 ):
     """MFCC feature fn (reference data.py:192-241).
 
@@ -195,25 +201,28 @@ def make_mfcc(
         lower_edge_hertz,
         upper_edge_hertz,
         epsilon,
+        xp=xp,
     )
     dct_matrix = _dct2_matrix(num_mel_bins)[:, :num_mfcc] / np.sqrt(num_mel_bins * 2.0)
 
-    def _fn(audio: jnp.ndarray, text=None):
+    def _fn(audio, text=None):
         log_mel = log_mel_fn(audio)[..., 0]
-        mfcc = _with_channel(log_mel @ jnp.asarray(dct_matrix))
+        mfcc = _with_channel(log_mel @ xp.asarray(dct_matrix))
         return mfcc if text is None else (mfcc, text)
 
     return _fn
 
 
-def delta_accelerate(audio: jnp.ndarray, text=None):
+def delta_accelerate(audio, text=None, xp=None):
     """Append delta and delta-delta channels (reference data.py:310-328).
 
     :param audio: [TimeStep, FrequencyDim, 1]
     :return: [TimeStep, FrequencyDim, 3]
     """
-    zero_head = jnp.zeros_like(audio[:1])
-    delta = audio - jnp.concatenate([zero_head, audio[:-1]], axis=0)
-    accel = delta - jnp.concatenate([zero_head, delta[:-1]], axis=0)
-    out = jnp.concatenate([audio, delta, accel], axis=2)
+    if xp is None:
+        xp = np if isinstance(audio, np.ndarray) else jnp
+    zero_head = xp.zeros_like(audio[:1])
+    delta = audio - xp.concatenate([zero_head, audio[:-1]], axis=0)
+    accel = delta - xp.concatenate([zero_head, delta[:-1]], axis=0)
+    out = xp.concatenate([audio, delta, accel], axis=2)
     return out if text is None else (out, text)
