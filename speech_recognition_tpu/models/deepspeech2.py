@@ -1,0 +1,143 @@
+"""DeepSpeech2 in Flax, TPU-first.
+
+Architecture parity with reference speech_recognition/models/deepspeech2.py:
+- ``Convolution``: N x VALID Conv2D over [B, T, F, C] then freq/channel
+  flatten (reference deepspeech2.py:11-66).  The time mask is recomputed with
+  exact conv length arithmetic over valid-frame counts instead of the
+  reference's reshape/reduce_any collapse, which also fixes the latent
+  stride-product bug at deepspeech2.py:74.
+- ``Recurrent``: N x (BiRNN -> BatchNorm) with final-state threading across
+  layers (reference deepspeech2.py:81-119).
+- ``DeepSpeech2``: conv -> recurrent -> mask-zeroed -> vocab Dense; CTC loss
+  (reference deepspeech2.py:122-202).
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..measure import ctc_loss
+from ..ops.rnn import BiRNN
+from .las import audio_frame_mask, conv_output_length
+from .model_proto import ModelProto
+
+
+class Convolution(nn.Module):
+    """Conv frontend (reference deepspeech2.py:11-78)."""
+
+    num_layers: int
+    channels: Tuple[int, ...]
+    kernel_sizes: Tuple[Tuple[int, int], ...]
+    strides: Tuple[Tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio_input: jnp.ndarray, training: bool = False):
+        """[B, T, F, C] -> ([B, T', F'*ch], mask [B, T'])."""
+        assert self.num_layers == len(self.channels) == len(self.kernel_sizes) == len(self.strides)
+        frame_mask = audio_frame_mask(audio_input)
+        lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+
+        x = audio_input.astype(self.dtype)
+        for i, (ch, kernel, stride) in enumerate(zip(self.channels, self.kernel_sizes, self.strides)):
+            x = nn.Conv(
+                ch, kernel_size=tuple(kernel), strides=tuple(stride), padding="VALID", dtype=self.dtype, name=f"conv{i}"
+            )(x)
+            lengths = conv_output_length(lengths, kernel[0], stride[0])
+
+        B, T2 = x.shape[0], x.shape[1]
+        output = x.reshape(B, T2, x.shape[2] * x.shape[3])
+        mask = jnp.arange(T2)[None, :] < lengths[:, None]
+        return output, mask
+
+
+class Recurrent(nn.Module):
+    """BiRNN stack with BatchNorm (reference deepspeech2.py:81-119)."""
+
+    rnn_type: str
+    num_layers: int
+    units: int
+    dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio_input: jnp.ndarray, mask: jnp.ndarray, training: bool = False):
+        states = None
+        x = audio_input
+        for i in range(self.num_layers):
+            output, *states = BiRNN(
+                self.rnn_type,
+                self.units,
+                self.dropout,
+                self.recurrent_dropout,
+                dtype=self.dtype,
+                name=f"reccurent_layer{i}",
+            )(x, mask, states, training)
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name=f"batch_normalization{i}",
+            )(output)
+        return x
+
+
+class DeepSpeech2(ModelProto):
+    """DeepSpeech2 model (reference deepspeech2.py:122-202)."""
+
+    num_conv_layers: int
+    channels: Tuple[int, ...]
+    kernel_sizes: Tuple[Tuple[int, int], ...]
+    strides: Tuple[Tuple[int, int], ...]
+    rnn_type: str
+    num_reccurent_layers: int
+    hidden_dim: int
+    dropout: float
+    recurrent_dropout: float
+    vocab_size: int
+    blank_index: int
+    pad_index: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.convolution = Convolution(
+            self.num_conv_layers, self.channels, self.kernel_sizes, self.strides, dtype=self.dtype, name="convolution"
+        )
+        self.recurrent = Recurrent(
+            self.rnn_type,
+            self.num_reccurent_layers,
+            self.hidden_dim,
+            self.dropout,
+            self.recurrent_dropout,
+            dtype=self.dtype,
+            name="recurrent",
+        )
+        self.fully_connected = nn.Dense(self.vocab_size, dtype=self.dtype, name="fully_connected")
+
+    def __call__(self, audio_input: jnp.ndarray, training: bool = False):
+        """[B, T, F, C] -> logits [B, T', V]."""
+        audio, mask = self.convolution(audio_input, training)
+        audio = self.recurrent(audio, mask, training) * mask[:, :, None].astype(self.dtype)
+        return self.fully_connected(audio)
+
+    def get_loss_fn(self):
+        blank, pad = self.blank_index, self.pad_index
+        return lambda y_true, logits: ctc_loss(y_true, logits, blank, pad)
+
+    def get_metrics(self):
+        return []
+
+    @staticmethod
+    def get_batching_shape(audio_pad_length, token_pad_length, frequency_dim, feature_dim):
+        return ([audio_pad_length, frequency_dim, feature_dim], [token_pad_length])
+
+    @staticmethod
+    def make_example(audio, tokens):
+        return audio, tokens
+
+    @property
+    def model_checkpoint_name(self) -> str:
+        return "model-{epoch}epoch-{val_loss:.4f}loss"

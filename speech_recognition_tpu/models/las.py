@@ -1,0 +1,357 @@
+"""Listen, Attend and Spell (LAS) in Flax, TPU-first.
+
+Architecture parity with reference speech_recognition/models/las.py:
+- ``Attention``: multiplicative attention with projected query/key, -1e9
+  masking (reference las.py:20-59).  TPU change: the key projection is
+  computed ONCE over the encoder output and reused every decoder step
+  (the reference re-projects keys inside every step, las.py:50).
+- ``Listener``: 2x stride-2 VALID Conv2D + dropout -> N x (BiRNN -> Dense ->
+  BatchNorm -> ReLU) with final-state threading across layers and a
+  state-bridge projection into the decoder (reference las.py:129-217).
+- ``AttendAndSpeller``: embed -> attention -> stacked unidirectional RNN
+  cells (the reference threads one flat state list through the layer stack,
+  las.py:285-288 — mirrored exactly for checkpoint parity) -> vocab Dense
+  (reference las.py:220-292).
+- ``LAS.__call__``: teacher forcing sampled once per batch (las.py:366); the
+  decoder loop is a single ``lax.scan`` over token positions instead of the
+  reference's per-token Python loop + TensorArray (las.py:361-379).
+
+Masks are derived from conv length arithmetic on the count of non-pad
+frames rather than the reference's reshape/reduce_any collapse
+(las.py:205-217) — same contract (True on valid frames), exact under the
+pad-invariance property.
+"""
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..measure import sparse_categorical_accuracy, sparse_categorical_crossentropy
+from ..ops.rnn import BiRNN, RNNParams, cell_step, num_states
+from .model_proto import ModelProto
+
+def _embed_init(key, shape, dtype=jnp.float32):
+    # Keras Embedding default RandomUniform(-0.05, 0.05)
+    return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
+
+def conv_output_length(length, kernel_size: int, stride: int):
+    """VALID conv output length: floor((L - k) / s) + 1."""
+    return jnp.maximum((length - kernel_size) // stride + 1, 0)
+
+
+def audio_frame_mask(audio: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] True where the frame has any non-pad value (pad value 0.0)."""
+    return jnp.any(audio.reshape(audio.shape[0], audio.shape[1], -1) != 0.0, axis=2)
+
+
+class Attention(nn.Module):
+    """Dot-product attention with projected query/key (reference las.py:20-59)."""
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.query_weight = nn.Dense(self.hidden_dim, dtype=self.dtype, name="query_weight")
+        self.key_weight = nn.Dense(self.hidden_dim, dtype=self.dtype, name="key_weight")
+
+    def project_keys(self, key: jnp.ndarray) -> jnp.ndarray:
+        """[B, S, H] -> [B, S, H], hoisted out of the decode loop."""
+        return self.key_weight(key)
+
+    def __call__(self, query, key, value, attention_mask, projected_key=None):
+        """query [B,H], key/value [B,S,*], mask [B,S] -> context [B,Dv].
+
+        Pass ``projected_key`` (from project_keys) to skip the per-step key
+        projection on the decode hot path.
+        """
+        if projected_key is None:
+            projected_key = self.key_weight(key)
+        q = self.query_weight(query)[:, None, :]  # [B,1,H]
+        scores = jnp.einsum("bqh,bsh->bqs", q, projected_key)
+        scores = scores - 1e9 * (1.0 - attention_mask[:, None, :].astype(scores.dtype))
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bqs,bsd->bd", probs, value)
+
+
+class Listener(nn.Module):
+    """LAS listener (reference las.py:129-217)."""
+
+    rnn_type: str
+    encoder_hidden_dim: int
+    decoder_hidden_dim: int
+    num_encoder_layers: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    KERNEL_SIZE = 3
+    STRIDE = 2
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray, training: bool = False):
+        """audio [B, T, F, C] -> [encoded [B, T', H], mask [B, T'], *states]."""
+        frame_mask = audio_frame_mask(audio)
+        lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+
+        audio = audio.astype(self.dtype)
+        deterministic = not training
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        conv_kw = dict(
+            kernel_size=(self.KERNEL_SIZE, self.KERNEL_SIZE),
+            strides=(self.STRIDE, self.STRIDE),
+            padding="VALID",
+            dtype=self.dtype,
+        )
+        audio = drop(nn.Conv(32, name="conv1", **conv_kw)(audio))
+        audio = drop(nn.Conv(32, name="conv2", **conv_kw)(audio))
+        B, T2 = audio.shape[0], audio.shape[1]
+        audio = audio.reshape(B, T2, audio.shape[2] * audio.shape[3])
+
+        # mask through conv length arithmetic (twice stride-2 VALID)
+        lengths = conv_output_length(lengths, self.KERNEL_SIZE, self.STRIDE)
+        lengths = conv_output_length(lengths, self.KERNEL_SIZE, self.STRIDE)
+        mask = jnp.arange(T2)[None, :] < lengths[:, None]
+
+        states = None
+        for i in range(self.num_encoder_layers):
+            audio, *states = BiRNN(
+                self.rnn_type, self.encoder_hidden_dim, self.dropout, dtype=self.dtype, name=f"encoder_layer{i}"
+            )(audio, mask, states, training)
+            audio = nn.Dense(self.encoder_hidden_dim * 2, dtype=self.dtype, name=f"projection{i}")(audio)
+            audio = nn.BatchNorm(
+                use_running_average=deterministic,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name=f"batch_normalization{i}",
+            )(audio)
+            audio = nn.relu(audio)
+
+        # bridge final fwd/bwd states into decoder dimension (reference las.py:195-202)
+        hidden_proj = nn.Dense(self.decoder_hidden_dim, dtype=self.dtype, name="hidden_states_proj")
+        if self.rnn_type == "lstm":
+            # states = [fwd_h, fwd_c, bwd_h, bwd_c]
+            h = hidden_proj(jnp.concatenate([states[0], states[2]], axis=-1))
+            c = nn.Dense(self.decoder_hidden_dim, dtype=self.dtype, name="cell_states_proj")(
+                jnp.concatenate([states[1], states[3]], axis=-1)
+            )
+            out_states = (h, c)
+        else:
+            out_states = (hidden_proj(jnp.concatenate([states[0], states[1]], axis=-1)),)
+        return [audio, mask] + list(out_states)
+
+
+class AttendAndSpeller(nn.Module):
+    """Single-step LAS decoder (reference las.py:220-292)."""
+
+    rnn_type: str
+    vocab_size: int
+    hidden_dim: int
+    num_decoder_layers: int
+    dropout: float
+    pad_id: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            self.vocab_size, self.hidden_dim, embedding_init=_embed_init, dtype=self.dtype, name="embedding"
+        )
+        self.attention = Attention(self.hidden_dim, dtype=self.dtype, name="attention")
+        self.cells = [
+            RNNParams(self.rnn_type, self.hidden_dim, name=f"decoder_layer{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        self.feedforward = nn.Dense(self.vocab_size, dtype=self.dtype, name="feedforward")
+
+    def project_keys(self, audio_output):
+        return self.attention.project_keys(audio_output)
+
+    def make_dropout_masks(self, rng, batch: int, context_dim: int):
+        """Keras-style per-call dropout masks, constant across decoder steps."""
+        keep = 1.0 - self.dropout
+        masks = {}
+        r_emb, r_out, *r_cells = jax.random.split(rng, 2 + self.num_decoder_layers)
+        masks["emb"] = jax.random.bernoulli(r_emb, keep, (batch, self.hidden_dim)).astype(self.dtype) / keep
+        masks["out"] = jax.random.bernoulli(r_out, keep, (batch, self.hidden_dim)).astype(self.dtype) / keep
+        cell_masks = []
+        in_dim = self.hidden_dim + context_dim
+        for i, r in enumerate(r_cells):
+            cell_masks.append(jax.random.bernoulli(r, keep, (batch, in_dim)).astype(self.dtype) / keep)
+            in_dim = self.hidden_dim
+        masks["cells"] = cell_masks
+        return masks
+
+    def step(
+        self,
+        audio_output,
+        projected_keys,
+        decoder_input,
+        attention_mask,
+        states: Tuple,
+        dropout_masks=None,
+    ):
+        """One decode step.
+
+        :param audio_output: [B, S, Dv] listener output
+        :param projected_keys: [B, S, H] hoisted key projection
+        :param decoder_input: [B] int32 previous token
+        :param attention_mask: [B, S] bool
+        :param states: flat state tuple threaded through the layer stack
+            exactly like the reference (las.py:285-288)
+        :return: (logits [B, V], new_states)
+        """
+        token_mask = (decoder_input != self.pad_id)[:, None].astype(self.dtype)
+        x = self.embedding(decoder_input)
+        if dropout_masks is not None:
+            x = x * dropout_masks["emb"]
+
+        context = self.attention(
+            states[0], audio_output, audio_output, attention_mask, projected_key=projected_keys
+        )
+        x = jnp.concatenate([x, context], axis=-1)
+
+        n = num_states(self.rnn_type)
+        for i, cell in enumerate(self.cells):
+            kernel, recurrent_kernel, bias = cell(x.shape[-1])
+            kernel = kernel.astype(self.dtype)
+            recurrent_kernel = recurrent_kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            if self.rnn_type == "gru":
+                input_bias, recurrent_bias = bias[0], bias[1]
+            else:
+                input_bias, recurrent_bias = bias, None
+            x_in = x * dropout_masks["cells"][i] if dropout_masks is not None else x
+            x_proj = x_in @ kernel + input_bias
+            h_new, new_state = cell_step(
+                self.rnn_type, x_proj, tuple(states[:n]), recurrent_kernel, recurrent_bias, self.hidden_dim
+            )
+            # gate by token mask: pad steps neither advance state nor emit
+            new_state = tuple(
+                token_mask * ns + (1.0 - token_mask) * os for ns, os in zip(new_state, states[:n])
+            )
+            x = h_new * token_mask
+            states = new_state  # threaded into the next layer (reference semantics)
+
+        if dropout_masks is not None:
+            x = x * dropout_masks["out"]
+        logits = self.feedforward(x)
+        return logits, states
+
+
+class LAS(ModelProto):
+    """LAS model (reference las.py:295-406)."""
+
+    rnn_type: str
+    vocab_size: int
+    encoder_hidden_dim: int
+    decoder_hidden_dim: int
+    num_encoder_layers: int
+    num_decoder_layers: int
+    dropout: float
+    teacher_forcing_rate: float
+    pad_id: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.listener = Listener(
+            self.rnn_type,
+            self.encoder_hidden_dim,
+            self.decoder_hidden_dim,
+            self.num_encoder_layers,
+            self.dropout,
+            dtype=self.dtype,
+            name="listener",
+        )
+        self.attend_and_speller = AttendAndSpeller(
+            self.rnn_type,
+            self.vocab_size,
+            self.decoder_hidden_dim,
+            self.num_decoder_layers,
+            self.dropout,
+            self.pad_id,
+            dtype=self.dtype,
+            name="attend_and_speller",
+        )
+
+    # --------------------------------------------------------------- methods
+    def encode(self, audio, training: bool = False):
+        """Listener forward; returns [encoded, mask, *states] (for search)."""
+        return self.listener(audio, training)
+
+    def project_keys(self, audio_output):
+        return self.attend_and_speller.project_keys(audio_output)
+
+    def decode_step(self, audio_output, projected_keys, decoder_input, attention_mask, states):
+        return self.attend_and_speller.step(
+            audio_output, projected_keys, decoder_input, attention_mask, states
+        )
+
+    def __call__(self, inputs: Tuple, training: bool = False):
+        """(audio [B,T,F,C], decoder_input [B,N]) -> logits [B,N,V]."""
+        audio_input, decoder_input = inputs
+        B, N = decoder_input.shape
+
+        audio_output, attention_mask, *states = self.listener(audio_input, training)
+        states = tuple(states)
+        projected_keys = self.attend_and_speller.project_keys(audio_output)
+
+        dropout_masks = None
+        if training and self.dropout > 0.0:
+            dropout_masks = self.attend_and_speller.make_dropout_masks(
+                self.make_rng("dropout"), B, audio_output.shape[-1]
+            )
+
+        # teacher forcing coin flipped once per batch (reference las.py:366)
+        if training and self.has_rng("teacher_forcing"):
+            use_teacher_forcing = (
+                jax.random.uniform(self.make_rng("teacher_forcing"), ()) < self.teacher_forcing_rate
+            )
+        else:
+            use_teacher_forcing = jnp.asarray(True)
+
+        # step 0 outside the scan (primes submodule parameters; first token is
+        # always the given input, reference las.py:369)
+        logits0, states = self.attend_and_speller.step(
+            audio_output, projected_keys, decoder_input[:, 0], attention_mask, states, dropout_masks
+        )
+
+        def body(carry, tok_t):
+            states, prev_logits = carry
+            feedback = jnp.argmax(prev_logits, axis=-1).astype(jnp.int32)
+            tok = jnp.where(use_teacher_forcing, tok_t, feedback)
+            logits, new_states = self.attend_and_speller.step(
+                audio_output, projected_keys, tok, attention_mask, states, dropout_masks
+            )
+            return (new_states, logits), logits
+
+        tokens_t = jnp.swapaxes(decoder_input[:, 1:], 0, 1)  # [N-1, B]
+        (_, _), rest = jax.lax.scan(body, (states, logits0), tokens_t)
+        logits = jnp.concatenate([logits0[None], rest], axis=0)  # [N, B, V]
+        return jnp.swapaxes(logits, 0, 1)
+
+    # ----------------------------------------------------------------- plumbing
+    def get_loss_fn(self):
+        pad_id = self.pad_id
+        return lambda y_true, logits: sparse_categorical_crossentropy(y_true, logits, pad_id)
+
+    def get_metrics(self):
+        pad_id = self.pad_id
+        return [("accuracy", lambda y_true, logits: sparse_categorical_accuracy(y_true, logits, pad_id))]
+
+    @staticmethod
+    def get_batching_shape(audio_pad_length, token_pad_length, frequency_dim, feature_dim):
+        if token_pad_length is not None:
+            token_pad_length = token_pad_length - 1
+        return (([audio_pad_length, frequency_dim, feature_dim], [token_pad_length]), [token_pad_length])
+
+    @staticmethod
+    def make_example(audio, tokens):
+        """(audio, tokens) -> ((audio, tokens[:-1]), tokens[1:]) (reference las.py:396-406)."""
+        return (audio, tokens[:-1]), tokens[1:]
+
+    @property
+    def model_checkpoint_name(self) -> str:
+        return "model-{epoch}epoch-{val_loss:.4f}loss_{val_accuracy:.4f}acc"

@@ -1,0 +1,220 @@
+"""Recurrent layers as lax.scan time-loops, designed for TPU.
+
+Replaces the reference's Keras RNN stack (reference: speech_recognition/
+models/las.py:10-17, 62-126) with mask-aware scan recurrences:
+
+- The input projection ``x @ W_in`` for the whole sequence is hoisted out of
+  the scan as one large [B*T, D] x [D, G*H] matmul that XLA tiles onto the
+  MXU; the per-step body only computes the [B, H] x [H, G*H] recurrent
+  matmul.
+- Masked timesteps leave the carried state untouched and emit zeros, which
+  yields exact pad-invariance (tests/models assert the reference's
+  prefix-invariance property) and makes reversed scans start from the last
+  valid frame automatically.
+- Parameter layout matches Keras (kernel / recurrent_kernel / bias with
+  i,f,c,o LSTM gate order, z,r,h GRU order with reset_after biases) so the
+  reference's published TF checkpoints map 1:1 onto this pytree.
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+RNN_TYPES = ("rnn", "lstm", "gru")
+
+
+def _gate_count(rnn_type: str) -> int:
+    return {"rnn": 1, "lstm": 4, "gru": 3}[rnn_type]
+
+
+def num_states(rnn_type: str) -> int:
+    return 2 if rnn_type == "lstm" else 1
+
+
+def _keras_lstm_bias(key, shape, dtype=jnp.float32):
+    """Zeros with forget-gate bias 1 (Keras unit_forget_bias)."""
+    units = shape[0] // 4
+    return jnp.concatenate(
+        [jnp.zeros(units, dtype), jnp.ones(units, dtype), jnp.zeros(2 * units, dtype)]
+    )
+
+
+class RNNParams(nn.Module):
+    """Holds Keras-layout parameters for one recurrent direction/cell."""
+
+    rnn_type: str
+    units: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        gates = _gate_count(self.rnn_type)
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (in_dim, gates * self.units), self.param_dtype
+        )
+        recurrent_kernel = self.param(
+            "recurrent_kernel",
+            nn.initializers.orthogonal(),
+            (self.units, gates * self.units),
+            self.param_dtype,
+        )
+        if self.rnn_type == "gru":
+            # reset_after GRU keeps separate input/recurrent biases
+            bias = self.param("bias", nn.initializers.zeros, (2, gates * self.units), self.param_dtype)
+        elif self.rnn_type == "lstm":
+            bias = self.param("bias", _keras_lstm_bias, (gates * self.units,), self.param_dtype)
+        else:
+            bias = self.param("bias", nn.initializers.zeros, (gates * self.units,), self.param_dtype)
+        return kernel, recurrent_kernel, bias
+
+
+def init_state(rnn_type: str, batch: int, units: int, dtype) -> Tuple[jnp.ndarray, ...]:
+    zeros = jnp.zeros((batch, units), dtype)
+    return (zeros, zeros) if rnn_type == "lstm" else (zeros,)
+
+
+def cell_step(
+    rnn_type: str,
+    x_proj_t: jnp.ndarray,
+    state: Tuple[jnp.ndarray, ...],
+    recurrent_kernel: jnp.ndarray,
+    recurrent_bias: Optional[jnp.ndarray],
+    units: int,
+):
+    """One recurrence step. ``x_proj_t`` is the precomputed input projection
+    (already includes the input bias)."""
+    if rnn_type == "lstm":
+        h, c = state
+        z = x_proj_t + h @ recurrent_kernel
+        zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+        i = jax.nn.sigmoid(zi)
+        f = jax.nn.sigmoid(zf)
+        c_new = f * c + i * jnp.tanh(zc)
+        o = jax.nn.sigmoid(zo)
+        h_new = o * jnp.tanh(c_new)
+        return h_new, (h_new, c_new)
+    if rnn_type == "gru":
+        (h,) = state
+        inner = h @ recurrent_kernel
+        if recurrent_bias is not None:
+            inner = inner + recurrent_bias
+        xz, xr, xh = jnp.split(x_proj_t, 3, axis=-1)
+        rz, rr, rh = jnp.split(inner, 3, axis=-1)
+        z = jax.nn.sigmoid(xz + rz)
+        r = jax.nn.sigmoid(xr + rr)
+        hh = jnp.tanh(xh + r * rh)
+        h_new = z * h + (1.0 - z) * hh
+        return h_new, (h_new,)
+    (h,) = state
+    h_new = jnp.tanh(x_proj_t + h @ recurrent_kernel)
+    return h_new, (h_new,)
+
+
+class RNN(nn.Module):
+    """Unidirectional mask-aware recurrent layer.
+
+    Call: (inputs [B,T,D], mask [B,T] bool, initial_state tuple or None)
+    Returns: (outputs [B,T,H] — zeros at masked steps, final_state tuple).
+    """
+
+    rnn_type: str
+    units: int
+    dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+    reverse: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, mask, initial_state=None, training: bool = False):
+        if self.rnn_type not in RNN_TYPES:
+            raise ValueError(f"rnn_type: {self.rnn_type} is invalid!")
+        B, T, D = inputs.shape
+        kernel, recurrent_kernel, bias = RNNParams(self.rnn_type, self.units, name="cell")(D)
+        kernel = kernel.astype(self.dtype)
+        recurrent_kernel = recurrent_kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        inputs = inputs.astype(self.dtype)
+
+        if self.rnn_type == "gru":
+            input_bias, recurrent_bias = bias[0], bias[1]
+        else:
+            input_bias, recurrent_bias = bias, None
+
+        if training and self.dropout > 0.0:
+            # Keras semantics: one dropout mask per sequence, shared across time
+            keep = 1.0 - self.dropout
+            drop_mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (B, 1, D))
+            inputs = inputs * drop_mask.astype(inputs.dtype) / keep
+        rec_drop_mask = None
+        if training and self.recurrent_dropout > 0.0:
+            keep = 1.0 - self.recurrent_dropout
+            rec_drop_mask = (
+                jax.random.bernoulli(self.make_rng("dropout"), keep, (B, self.units)).astype(self.dtype)
+                / keep
+            )
+
+        # hoisted input projection: one big MXU matmul
+        x_proj = inputs @ kernel + input_bias  # [B, T, G*H]
+
+        if initial_state is None:
+            state0 = init_state(self.rnn_type, B, self.units, self.dtype)
+        else:
+            state0 = tuple(s.astype(self.dtype) for s in initial_state)
+
+        mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, B, 1]
+        x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # [T, B, G*H]
+
+        def body(state, inp):
+            x_t, m_t = inp
+            h_state = state
+            if rec_drop_mask is not None:
+                h_state = (state[0] * rec_drop_mask,) + state[1:]
+            h_new, new_state = cell_step(
+                self.rnn_type, x_t, h_state, recurrent_kernel, recurrent_bias, self.units
+            )
+            m = m_t.astype(h_new.dtype)
+            new_state = tuple(m * ns + (1.0 - m) * os for ns, os in zip(new_state, state))
+            return new_state, h_new * m
+
+        final_state, outputs = jax.lax.scan(body, state0, (x_proj_t, mask_t), reverse=self.reverse)
+        return jnp.swapaxes(outputs, 0, 1), final_state
+
+
+class BiRNN(nn.Module):
+    """Bidirectional wrapper (reference models/las.py:62-126).
+
+    Returns [output [B,T,2H]] + list(forward states) + list(backward states).
+    The backward direction is a reverse-order scan whose mask gating makes it
+    start from each sequence's last valid frame.
+    """
+
+    rnn_type: str
+    units: int
+    dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, mask, initial_state=None, training: bool = False):
+        n = num_states(self.rnn_type)
+        if initial_state is None:
+            fwd_init = bwd_init = None
+        else:
+            fwd_init = tuple(initial_state[:n])
+            bwd_init = tuple(initial_state[n : 2 * n])
+        fwd_out, fwd_state = RNN(
+            self.rnn_type, self.units, self.dropout, self.recurrent_dropout, dtype=self.dtype, name="forward_rnn"
+        )(inputs, mask, fwd_init, training)
+        bwd_out, bwd_state = RNN(
+            self.rnn_type,
+            self.units,
+            self.dropout,
+            self.recurrent_dropout,
+            reverse=True,
+            dtype=self.dtype,
+            name="backward_rnn",
+        )(inputs, mask, bwd_init, training)
+        output = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+        return [output] + list(fwd_state) + list(bwd_state)

@@ -1,0 +1,86 @@
+"""Device mesh + sharding layer (replaces tf.distribute strategies).
+
+The reference selected a tf.distribute strategy per device flag
+(reference: speech_recognition/utils.py:130-156) and used data parallelism
+only.  Here parallelism is expressed the XLA-native way: a
+``jax.sharding.Mesh`` with ``('data', 'model')`` axes; batches are sharded
+over ``data``, large vocab-dimension parameters optionally over ``model``
+(tensor parallelism), everything else replicated.  Gradient reductions ride
+ICI through XLA's automatic collectives — no explicit all-reduce calls.
+"""
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_num_devices(device: Optional[str] = None) -> int:
+    return len(jax.devices())
+
+
+def get_device_mesh(
+    data_parallel: Optional[int] = None, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    :param data_parallel: size of the data axis (default: all remaining devices)
+    :param model_parallel: size of the tensor-parallel axis
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        if n % model_parallel:
+            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        data_parallel = n // model_parallel
+    mesh_devices = np.asarray(devices[: data_parallel * model_parallel]).reshape(
+        data_parallel, model_parallel
+    )
+    return Mesh(mesh_devices, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays with the leading batch dim over 'data'."""
+
+    def _put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+# parameters whose last axis matches these names shard over the model axis
+_TP_PATTERNS = (
+    r"feedforward/kernel$",        # LAS vocab projection
+    r"fully_connected/kernel$",    # DS2 vocab projection
+    r"embedding/embedding$",       # token embedding (vocab rows)
+)
+
+
+def param_spec(path: str, param) -> P:
+    """Tensor-parallel PartitionSpec for a parameter path, replicated default."""
+    if re.search(_TP_PATTERNS[2], path):
+        return P("model", None)  # shard vocab rows of the embedding
+    for pat in _TP_PATTERNS[:2]:
+        if re.search(pat, path):
+            return P(None, "model")  # shard vocab columns of the projections
+    return P(*([None] * getattr(param, "ndim", 0)))
+
+
+def shard_params(variables, mesh: Mesh, tensor_parallel: bool = False):
+    """Place model variables on the mesh: replicated, or TP-sharded when asked."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+
+    def _path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def _place(path, x):
+        if tensor_parallel:
+            spec = param_spec(_path_str(path), x)
+        else:
+            spec = P(*([None] * getattr(x, "ndim", 0)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(_place, variables)

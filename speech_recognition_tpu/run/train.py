@@ -1,0 +1,320 @@
+"""Training entry point.
+
+CLI surface parity with reference speech_recognition/run/train.py (same flags,
+same ``--from-file`` YAML merge where CLI overrides file keys).  The
+orchestration is TPU-native: static-shape padded batches, one jitted SPMD
+train step over a ('data','model') mesh, Orbax checkpoints per epoch.
+"""
+
+import argparse
+import sys
+import time
+
+import yaml
+
+from ..configs import TrainConfig
+from ..utils import get_logger, makedirs, open_file, path_join, set_random_seed
+
+# fmt: off
+parser = argparse.ArgumentParser(argument_default=argparse.SUPPRESS)
+parser.add_argument("--from-file", type=str, help="load configs from file")
+
+parser.add_argument("--data-config", type=str, help="data processing config file")
+parser.add_argument("--model-config", type=str, help="model config file")
+parser.add_argument("--sp-model-path", type=str, help="sentencepiece model path")
+parser.add_argument("--train-dataset-paths", help="a tsv/tfrecord dataset file or multiple files ex) *.tsv")
+parser.add_argument("--dev-dataset-paths", help="a tsv/tfrecord dataset file or multiple files ex) *.tsv")
+parser.add_argument("--train-dataset-size", type=int, help="the number of training dataset examples")
+parser.add_argument("--output-path", help="output directory to save log and model checkpoints")
+
+parser.add_argument("--pretrained-model-path", type=str, help="pretrained model checkpoint")
+parser.add_argument("--epochs", type=int)
+parser.add_argument("--steps-per-epoch", type=int)
+parser.add_argument("--learning-rate", type=float)
+parser.add_argument("--min-learning-rate", type=float)
+parser.add_argument("--warmup-rate", type=float)
+parser.add_argument("--warmup-steps", type=int)
+parser.add_argument("--batch-size", type=int)
+parser.add_argument("--dev-batch-size", type=int)
+parser.add_argument("--shuffle-buffer-size", type=int, help="shuffle buffer size")
+parser.add_argument("--max-over-policy", type=str, choices=["filter", "slice"], help="policy for sequence whose length is over max")
+
+parser.add_argument("--use-tfrecord", action="store_true", help="use tfrecord dataset")
+parser.add_argument("--tensorboard-update-freq", type=int)
+parser.add_argument("--mixed-precision", action="store_true", help="use mixed precision (bfloat16)")
+parser.add_argument("--seed", type=int, help="Set random seed")
+parser.add_argument("--skip-epochs", type=int, help="skip first N epochs and start N + 1 epoch")
+parser.add_argument("--device", type=str, choices=["CPU", "GPU", "TPU"], help="device to use (TPU or GPU or CPU)")
+# fmt: on
+
+
+def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
+    """Return a zero-arg callable producing the (features, tokens) stream."""
+    from ..data import filter_example, get_dataset, get_tfrecord_dataset, slice_example
+    from ..ops.features import delta_accelerate
+    from ..ops.spec_augment import make_spec_augment
+
+    import numpy as np
+
+    data_config = cfg.data_config
+    paths = cfg.train_dataset_paths if train else cfg.dev_dataset_paths
+    feature_fn = data_config.make_audio_feature_fn("numpy")
+
+    spec_augment_fn = None
+    if train and data_config.spec_augment.enable:
+        sa = data_config.spec_augment
+        spec_augment_fn = make_spec_augment(
+            v=data_config.frequency_dim, W=sa.W, F=sa.F, m_F=sa.m_F, T=sa.T, p=sa.p, m_T=sa.m_T
+        )
+
+    seed_holder = {"epoch": 0}
+
+    def factory():
+        import jax
+
+        if cfg.use_tfrecord:
+            stream = get_tfrecord_dataset(paths)
+        else:
+            raw = get_dataset(
+                paths,
+                data_config.file_format,
+                data_config.sample_rate,
+                tokenizer,
+                shuffle=train and cfg.shuffle_buffer_size > 1,
+            )
+            stream = ((feature_fn(audio), tokens) for audio, tokens in raw)
+
+        if spec_augment_fn is not None:
+            key = jax.random.PRNGKey((cfg.seed or 0) * 1000 + seed_holder["epoch"])
+
+            def _augment(stream):
+                nonlocal key
+                for audio, tokens in stream:
+                    key, sub = jax.random.split(key)
+                    yield np.asarray(spec_augment_fn(sub, audio)), tokens
+
+            stream = _augment(stream)
+
+        if data_config.use_delta_accelerate:
+            stream = ((delta_accelerate(a), t) for a, t in stream)
+
+        if cfg.max_over_policy == "filter":
+            stream = filter_example(data_config.max_audio_length, data_config.max_token_length)(stream)
+        elif cfg.max_over_policy == "slice":
+            stream = slice_example(data_config.max_audio_length, data_config.max_token_length)(stream)
+        elif cfg.device == "TPU":
+            raise RuntimeError("You should set max-over-sequence-policy with TPU!")
+
+        seed_holder["epoch"] += 1
+        return stream
+
+    return factory
+
+
+def main(cfg: TrainConfig):
+    logger = get_logger("train")
+
+    if cfg.seed:
+        set_random_seed(cfg.seed)
+        logger.info(f"[+] Set random seed to {cfg.seed}")
+
+    # Copy config files into the output dir for reproducibility
+    makedirs(cfg.output_path)
+    with open_file(path_join(cfg.output_path, "train_configs.txt"), "w") as fout:
+        for k, v in vars(cfg).items():
+            if type(v) in (int, float, str):
+                fout.write(f"{k:25}: {v}\n")
+                logger.info(f"{k:25}: {v}")
+    from ..utils import copy as copy_file
+
+    copy_file(cfg.data_config_path, path_join(cfg.output_path, "data-config.yml"))
+    copy_file(cfg.model_config_path, path_join(cfg.output_path, "model-config.yml"))
+
+    from .common import build_variables, compute_dtype, count_params, create_model, select_device
+
+    select_device(cfg.device)
+
+    import jax
+    import numpy as np
+    import optax
+
+    from ..data import SentencePieceTokenizer, padded_batch, shuffle_stream
+    from ..data.dataset import skip_stream
+    from ..models import LAS
+    from ..parallel import get_device_mesh, shard_batch, shard_params
+    from ..train import (
+        TrainState,
+        linear_warmup_decay,
+        make_eval_step,
+        make_train_step,
+        restore_weights,
+        save_weights,
+    )
+
+    dtype = compute_dtype(cfg.mixed_precision, cfg.device)
+    if cfg.mixed_precision:
+        logger.info("[+] Use Mixed Precision (bfloat16)")
+
+    # ---------------------------------------------------------------- dataset
+    tokenizer = None
+    if not cfg.use_tfrecord:
+        logger.info(f"[+] Load Tokenizer from {cfg.sp_model_path}")
+        with open_file(cfg.sp_model_path, "rb") as f:
+            tokenizer = SentencePieceTokenizer(f.read(), add_bos=True, add_eos=True)
+
+    logger.info(f"[+] Load train dataset from {cfg.train_dataset_paths}")
+    train_factory = build_dataset_factory(cfg, tokenizer, train=True)
+    logger.info(f"[+] Load dev dataset from {cfg.dev_dataset_paths}")
+    dev_factory = build_dataset_factory(cfg, tokenizer, train=False)
+
+    # ------------------------------------------------------------------ model
+    logger.info("[+] Model Initialize")
+    model = create_model(cfg.model_config, dtype)
+    init_rng = jax.random.PRNGKey(cfg.seed or 0)
+    variables = build_variables(model, cfg.model_config, cfg.data_config, init_rng)
+    logger.info(f"[+] Parameters: {count_params(variables):,}")
+
+    if cfg.pretrained_model_path:
+        logger.info("[+] Load weights of model")
+        variables = dict(restore_weights(cfg.pretrained_model_path, variables))
+
+    # -------------------------------------------------------------- optimizer
+    schedule = linear_warmup_decay(
+        cfg.total_steps,
+        cfg.learning_rate,
+        cfg.min_learning_rate,
+        cfg.warmup_rate,
+        cfg.warmup_steps,
+        cfg.offset_steps,
+    )
+    tx = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
+    state = TrainState.create(variables, tx)
+
+    mesh = get_device_mesh()
+    multi_device = mesh.devices.size > 1
+    if multi_device:
+        logger.info(f"[+] SPMD over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            batch_stats=shard_params(state.batch_stats, mesh),
+            opt_state=shard_params(state.opt_state, mesh),
+        )
+
+    is_las = isinstance(model, LAS)
+    train_step = make_train_step(
+        model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=is_las
+    )
+    eval_step = make_eval_step(model, model.get_loss_fn(), model.get_metrics())
+
+    # -------------------------------------------------------------- batching
+    # static shapes whenever lengths are bounded (policy set or TPU); otherwise
+    # per-batch pad rounded up to coarse buckets to bound compile count
+    static = cfg.max_over_policy is not None or cfg.device == "TPU"
+    audio_pad = cfg.audio_pad_length if static else None
+    token_pad = cfg.token_pad_length if static else None
+
+    skip_examples = {"count": (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size}
+
+    def batch_iterator(factory, batch_size, train: bool):
+        stream = factory()
+        if train and skip_examples["count"]:
+            # deterministic resume: skip already-consumed examples once
+            stream = skip_stream(stream, skip_examples.pop("count", 0) or 0)
+            skip_examples["count"] = 0
+        if train and cfg.shuffle_buffer_size > 1:
+            stream = shuffle_stream(stream, cfg.shuffle_buffer_size, seed=cfg.seed)
+        for audio, tokens in padded_batch(
+            stream, batch_size, audio_pad, token_pad, pad_to_batch=static
+        ):
+            if is_las:
+                model_input, y_true = (audio, tokens[:, :-1]), tokens[:, 1:]
+            else:
+                model_input, y_true = audio, tokens
+            yield model_input, y_true
+
+    # --------------------------------------------------------------- training
+    logger.info("[+] Start training")
+    writer = _make_summary_writer(path_join(cfg.output_path, "logs"))
+    rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
+    global_step = 0
+    samples_seen = 0
+
+    for epoch in range(cfg.skip_epochs, cfg.epochs):
+        epoch_start = time.time()
+        running = {}
+        steps = 0
+        train_iter = batch_iterator(train_factory, cfg.batch_size, train=True)
+        for model_input, y_true in train_iter:
+            if multi_device:
+                model_input = shard_batch(model_input, mesh)
+                y_true = shard_batch(y_true, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, model_input, y_true, step_rng)
+            steps += 1
+            global_step += 1
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+            if steps % 100 == 0:
+                logger.info(
+                    f"{epoch + 1} epoch, {steps} step | "
+                    + ", ".join(f"{k}: {v / steps:.4f}" for k, v in running.items() if not k.endswith("_count"))
+                )
+            if writer and global_step % cfg.tensorboard_update_freq == 0:
+                writer.scalar("train/loss", float(metrics["loss"]), global_step)
+            if cfg.steps_per_epoch and steps >= cfg.steps_per_epoch:
+                break
+
+        # ------------------------------------------------------------- validate
+        val_metrics = {}
+        val_steps = 0
+        for model_input, y_true in batch_iterator(dev_factory, cfg.dev_batch_size, train=False):
+            if multi_device:
+                model_input = shard_batch(model_input, mesh)
+                y_true = shard_batch(y_true, mesh)
+            metrics = eval_step(state, model_input, y_true)
+            val_steps += 1
+            for k, v in metrics.items():
+                val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
+
+        val_loss = val_metrics.get("loss", 0.0) / max(val_steps, 1)
+        summary = {"val_loss": val_loss}
+        if "accuracy_sum" in val_metrics:
+            summary["val_accuracy"] = val_metrics["accuracy_sum"] / max(val_metrics["accuracy_count"], 1)
+        logger.info(
+            f"{epoch + 1} epoch | "
+            + ", ".join(f"{k}: {v:.4f}" for k, v in summary.items())
+            + f" | {time.time() - epoch_start:.1f}s"
+        )
+        if writer:
+            for k, v in summary.items():
+                writer.scalar(f"val/{k}", v, global_step)
+
+        # ------------------------------------------------------------ checkpoint
+        name = model.model_checkpoint_name.format(epoch=epoch + 1, **{
+            "val_loss": val_loss,
+            "val_accuracy": summary.get("val_accuracy", 0.0),
+        })
+        ckpt_path = path_join(cfg.output_path, "models", name)
+        save_weights(ckpt_path, state.variables)
+        logger.info(f"[+] Saved checkpoint to {ckpt_path}")
+
+    if writer:
+        writer.flush()
+
+
+def _make_summary_writer(log_dir):
+    """TensorBoard writer when available (optional dependency)."""
+    try:
+        from flax.metrics.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir)
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    config = vars(parser.parse_args())
+    if "from_file" in config:
+        with open(config.pop("from_file")) as f:
+            config = {**yaml.safe_load(f), **config}
+    sys.exit(main(TrainConfig(**config)))

@@ -1,0 +1,338 @@
+"""Device-side decoding: LAS greedy/beam search and CTC greedy/beam search.
+
+TPU-native counterpart of reference speech_recognition/search.py.  Every
+decoder is a jitted static-shape program: fixed [B, max_len] token buffers
+updated in-place via dynamic_update_slice inside ``lax.while_loop`` /
+``lax.scan`` (the reference grew tensors per step inside tf.while_loop,
+search.py:53-54).  The CTC decoders run entirely on device — the reference
+fell back to TF's CPU-only ctc kernels (search.py:246-248, 279-281).
+
+Scoring parity with the reference:
+- LAS beam: score = cumulative logP x ((1 + len)/(1 + beta))^alpha
+  (search.py:161-164); finished beams accumulate 0 (search.py:137-138);
+  perplexity = exp(logP)^(-1/len) (search.py:78-81, 207).
+- CTC greedy: path probability = exp(sum of per-frame max log-softmax)
+  (the blank-remap dance at search.py:237-240 is unnecessary here because
+  blank_index is passed straight to the decoder).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models import LAS, DeepSpeech2
+
+
+class LASSearcher:
+    """Greedy / beam search over a trained LAS model (reference search.py:6-209)."""
+
+    def __init__(self, model: LAS, variables, max_token_length: int, bos_id: int, eos_id: int, pad_id: int = 0):
+        self.model = model
+        self.variables = variables
+        self.max_token_length = max_token_length
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self._greedy = jax.jit(self._greedy_impl)
+        self._beam = jax.jit(self._beam_impl, static_argnums=(1,))
+
+    # ------------------------------------------------------------------ common
+    def _encode(self, audio_input):
+        enc_out, mask, *states = self.model.apply(self.variables, audio_input, method=LAS.encode)
+        keys = self.model.apply(self.variables, enc_out, method=LAS.project_keys)
+        return enc_out, keys, mask, tuple(states)
+
+    def _step(self, enc_out, keys, tokens, mask, states):
+        return self.model.apply(self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step)
+
+    # ------------------------------------------------------------------ greedy
+    def greedy_search(self, audio_input) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """:return: (tokens [B, max_token_length], perplexity [B])."""
+        return self._greedy(jnp.asarray(audio_input))
+
+    def _greedy_impl(self, audio_input):
+        B = audio_input.shape[0]
+        L = self.max_token_length
+        enc_out, keys, mask, states = self._encode(audio_input)
+
+        tokens = jnp.full((B, L), self.pad_id, jnp.int32).at[:, 0].set(self.bos_id)
+        is_ended = jnp.zeros((B,), bool)
+        log_perplexity = jnp.zeros((B,), jnp.float32)
+        seq_lens = jnp.full((B,), L, jnp.int32)
+
+        def cond(carry):
+            step, tokens, is_ended, logp, seq_lens, states = carry
+            return (step < L) & ~jnp.all(is_ended)
+
+        def body(carry):
+            step, tokens, is_ended, logp, seq_lens, states = carry
+            last = jax.lax.dynamic_index_in_dim(tokens, step - 1, axis=1, keepdims=False)
+            logits, states = self._step(enc_out, keys, last, mask, states)
+            log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            new_tokens = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            top_logp = jnp.max(log_probs, axis=-1)
+
+            logp = jnp.where(is_ended, logp, logp + top_logp)
+            new_tokens = jnp.where(is_ended, self.pad_id, new_tokens)
+            newly_ended = new_tokens == self.eos_id
+            seq_lens = jnp.where(newly_ended & ~is_ended, step + 1, seq_lens)
+            is_ended = is_ended | newly_ended
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, new_tokens, step, axis=1)
+            return step + 1, tokens, is_ended, logp, seq_lens, states
+
+        carry = (jnp.int32(1), tokens, is_ended, log_perplexity, seq_lens, states)
+        _, tokens, is_ended, logp, seq_lens, _ = jax.lax.while_loop(cond, body, carry)
+        perplexity = jnp.exp(logp) ** (-1.0 / seq_lens.astype(jnp.float32))
+        return tokens, perplexity
+
+    # -------------------------------------------------------------------- beam
+    def beam_search(self, audio_input, beam_size: int, alpha: float = 1.0, beta: int = 32):
+        """:return: (tokens [B, beam, max_token_length], perplexity [B, beam])."""
+        return self._beam(jnp.asarray(audio_input), int(beam_size), alpha, beta)
+
+    def _beam_impl(self, audio_input, beam_size: int, alpha=1.0, beta=32):
+        B = audio_input.shape[0]
+        K = beam_size
+        L = self.max_token_length
+        enc_out, keys, mask, states = self._encode(audio_input)
+
+        # first decode step from BOS initializes the beams (reference search.py:141-153)
+        logits0, states0 = self._step(enc_out, keys, jnp.full((B,), self.bos_id, jnp.int32), mask, states)
+        lp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
+        top_logp, top_tokens = jax.lax.top_k(lp0, K)  # [B, K]
+
+        tokens = jnp.full((B, K, L), self.pad_id, jnp.int32)
+        tokens = tokens.at[:, :, 0].set(self.bos_id).at[:, :, 1].set(top_tokens)
+        log_perplexity = top_logp  # [B, K]
+
+        def tile(x):
+            return jnp.repeat(x, K, axis=0)
+
+        enc_out_t, keys_t, mask_t = tile(enc_out), tile(keys), tile(mask)
+        states_t = tuple(tile(s) for s in states0)
+
+        def seq_lengths(tokens, cur_len):
+            """First-EOS position + 1 else current length (reference search.py:106-116)."""
+            is_eos = tokens == self.eos_id
+            any_eos = jnp.any(is_eos, axis=-1)
+            first = jnp.argmax(is_eos, axis=-1)
+            return jnp.where(any_eos, first + 1, cur_len).astype(jnp.int32)
+
+        def cond(carry):
+            step, tokens, logp, states = carry
+            has_eos = jnp.any(tokens == self.eos_id, axis=-1)
+            return (step < L) & jnp.any(~has_eos)
+
+        def body(carry):
+            step, tokens, logp, states = carry
+            last = jax.lax.dynamic_index_in_dim(tokens.reshape(B * K, L), step - 1, axis=1, keepdims=False)
+            logits, new_states = self._step(enc_out_t, keys_t, last, mask_t, states)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            step_lp, cand_tokens = jax.lax.top_k(lp, K)  # [B*K, K]
+            step_lp = step_lp.reshape(B, K, K)
+            cand_tokens = cand_tokens.reshape(B, K, K)
+
+            ended = jnp.any(tokens == self.eos_id, axis=-1)  # [B, K]
+            step_lp = jnp.where(ended[:, :, None], 0.0, step_lp)
+            cand_logp = logp[:, :, None] + step_lp  # [B, K, K]
+
+            # candidate lengths for the length penalty
+            eos_len = seq_lengths(tokens, step + 1)  # [B, K]
+            cand_len = jnp.broadcast_to(eos_len[:, :, None], (B, K, K))
+            penalty = ((1.0 + cand_len.astype(jnp.float32)) / (1.0 + beta)) ** alpha
+            scores = (cand_logp * penalty).reshape(B, K * K)
+
+            _, top_idx = jax.lax.top_k(scores, K)  # [B, K]
+            beam_idx = top_idx // K
+            tok_idx = top_idx % K
+
+            batch_idx = jnp.arange(B)[:, None]
+            new_tok = cand_tokens[batch_idx, beam_idx, tok_idx]  # [B, K]
+            sel_ended = ended[batch_idx, beam_idx]
+            new_tok = jnp.where(sel_ended, self.pad_id, new_tok)
+
+            tokens = tokens[batch_idx, beam_idx]  # [B, K, L]
+            tokens = jax.lax.dynamic_update_slice_in_dim(tokens, new_tok[:, :, None], step, axis=2)
+            logp = cand_logp[batch_idx, beam_idx, tok_idx]
+
+            flat_idx = (batch_idx * K + beam_idx).reshape(B * K)
+            states = tuple(s[flat_idx] for s in new_states)
+            return step + 1, tokens, logp, states
+
+        carry = (jnp.int32(2), tokens, log_perplexity, states_t)
+        _, tokens, logp, _ = jax.lax.while_loop(cond, body, carry)
+
+        lens = seq_lengths(tokens, L)  # [B, K]
+        pos = jnp.arange(L)[None, None, :]
+        tokens = jnp.where(pos < lens[:, :, None], tokens, self.pad_id)
+        perplexity = jnp.exp(logp) ** (-1.0 / lens.astype(jnp.float32))
+        return tokens, perplexity
+
+
+def ctc_greedy_decode(log_probs: jnp.ndarray, blank_index: int):
+    """Greedy CTC path decode: argmax per frame, collapse repeats, drop blanks.
+
+    :param log_probs: [B, T, V] log-softmax outputs
+    :return: (tokens [B, T] left-compacted 0-padded, path log-prob [B])
+    """
+    B, T, V = log_probs.shape
+    path = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # [B, T]
+    path_logp = jnp.sum(jnp.max(log_probs, axis=-1), axis=-1)  # [B]
+
+    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), path[:, :-1]], axis=1)
+    keep = (path != prev) & (path != blank_index)
+    pos = jnp.cumsum(keep, axis=1) - 1
+    out = jnp.zeros((B, T + 1), jnp.int32)
+    batch_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    scatter_pos = jnp.where(keep, pos, T)
+    out = out.at[batch_idx, scatter_pos].set(jnp.where(keep, path, 0))
+    return out[:, :T], path_logp
+
+
+class DeepSpeechSearcher:
+    """CTC greedy / beam search for DeepSpeech2 (reference search.py:212-285)."""
+
+    def __init__(self, model: DeepSpeech2, variables, blank_index: int):
+        self.model = model
+        self.variables = variables
+        self.blank_index = blank_index
+        self._greedy = jax.jit(self._greedy_impl)
+        self._beam = jax.jit(self._beam_impl, static_argnums=(1,))
+
+    def greedy_search(self, audio_input):
+        """:return: (tokens [B, T'], probability [B])."""
+        return self._greedy(jnp.asarray(audio_input))
+
+    def _greedy_impl(self, audio_input):
+        logits = self.model.apply(self.variables, audio_input)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tokens, path_logp = ctc_greedy_decode(log_probs, self.blank_index)
+        return tokens, jnp.exp(path_logp)
+
+    def beam_search(self, audio_input, beam_size: int):
+        """CTC prefix beam search, fully on device.
+
+        :return: (tokens [B, beam, T'], probability [B, beam])
+        """
+        return self._beam(jnp.asarray(audio_input), int(beam_size))
+
+    def _beam_impl(self, audio_input, beam_size: int):
+        logits = self.model.apply(self.variables, audio_input)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tokens, total_logp = ctc_beam_decode(log_probs, self.blank_index, beam_size)
+        return tokens, jnp.exp(total_logp)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def ctc_beam_decode(log_probs: jnp.ndarray, blank_index: int, beam_size: int):
+    """CTC prefix beam search over log-softmax outputs.
+
+    Per-frame candidates: each beam may stay (blank extension or repeated
+    last token, probabilities merged) or expand with one of the top-P
+    non-blank tokens; the K best-scoring candidates survive.  Equal prefixes
+    reached from different beams are not merged (deviation from TF's CPU
+    decoder; the dominant same-beam merge IS handled analytically).
+
+    :return: (tokens [B, beam, T] 0-padded, total log-prob [B, beam])
+    """
+    B, T, V = log_probs.shape
+    K = beam_size
+    P = min(max(2 * K, 8), V)  # per-frame candidate-token pruning
+    NEG = jnp.float32(-1e30)
+
+    # beam state: prefixes [B,K,T], lengths [B,K], pb/pnb [B,K] (log domain)
+    prefixes = jnp.zeros((B, K, T), jnp.int32)
+    lengths = jnp.zeros((B, K), jnp.int32)
+    pb = jnp.broadcast_to(jnp.where(jnp.arange(K) == 0, 0.0, NEG), (B, K))  # only beam 0 active
+    pnb = jnp.full((B, K), NEG)
+
+    def lse(a, b):
+        return jnp.logaddexp(a, b)
+
+    def frame(carry, lp_t):
+        prefixes, lengths, pb, pnb = carry  # lp_t: [B, V]
+        blank_lp = lp_t[:, blank_index]  # [B]
+        top_lp, top_tok = jax.lax.top_k(
+            lp_t.at[:, blank_index].set(NEG), P
+        )  # [B, P] best non-blank tokens
+
+        total = lse(pb, pnb)  # [B, K]
+        last = jnp.take_along_axis(
+            prefixes, jnp.maximum(lengths - 1, 0)[:, :, None], axis=2
+        )[:, :, 0]  # [B, K]
+        has_last = lengths > 0
+
+        # stay candidates (prefix unchanged): blank from anywhere, repeat from pnb
+        stay_pb = total + blank_lp[:, None]  # [B, K]
+        rep_lp = jnp.take_along_axis(lp_t, jnp.where(has_last, last, 0), axis=1)
+        stay_pnb = jnp.where(has_last, pnb + rep_lp, NEG)
+
+        # expand candidates: token c appended -> [B, K, P]
+        tok = jnp.broadcast_to(top_tok[:, None, :], (B, K, P))
+        same_as_last = has_last[:, :, None] & (tok == last[:, :, None])
+        src = jnp.where(same_as_last, pb[:, :, None], total[:, :, None])
+        exp_pnb = src + top_lp[:, None, :]  # [B, K, P]
+
+        # ---- cross-beam merge: an expand candidate (k extended by c) whose
+        # prefix equals an existing beam m folds its mass into m's stay
+        # candidate (TF's CPU decoder merges the same way).
+        alive = total > NEG / 2  # [B, K]
+        t_idx = jnp.arange(T)[None, None, None, :]
+        pref_eq = jnp.all(
+            (prefixes[:, :, None, :] == prefixes[:, None, :, :]) | (t_idx >= lengths[:, :, None, None]),
+            axis=-1,
+        )  # [B, k, m]: prefixes equal on the first len_k positions
+        len_ok = lengths[:, None, :] == lengths[:, :, None] + 1  # [B, k, m]
+        tok_at_lenk = jnp.take_along_axis(
+            prefixes[:, None, :, :].repeat(K, 1),
+            jnp.clip(lengths, 0, T - 1)[:, :, None, None],
+            axis=3,
+        )[..., 0]  # [B, k, m]: prefix_m[len_k]
+        eq_km = pref_eq & len_ok & alive[:, None, :] & alive[:, :, None]  # [B, k, m]
+        eq_kpm = eq_km[:, :, None, :] & (tok[:, :, :, None] == tok_at_lenk[:, :, None, :])  # [B,k,p,m]
+        merged_any = jnp.any(eq_kpm, axis=3)  # [B, K, P]
+        contrib = jax.nn.logsumexp(
+            jnp.where(eq_kpm, exp_pnb[:, :, :, None], NEG), axis=(1, 2)
+        )  # [B, m]
+        stay_pnb = lse(stay_pnb, contrib)
+        exp_pnb = jnp.where(merged_any, NEG, exp_pnb)
+
+        # score all K + K*P candidates, pick top K
+        stay_score = lse(stay_pb, stay_pnb)
+        cand_scores = jnp.concatenate([stay_score, exp_pnb.reshape(B, K * P)], axis=1)
+        _, sel = jax.lax.top_k(cand_scores, K)  # [B, K]
+
+        is_stay = sel < K
+        stay_idx = jnp.where(is_stay, sel, 0)
+        exp_flat = jnp.where(is_stay, 0, sel - K)
+        exp_beam = exp_flat // P
+        exp_tok_i = exp_flat % P
+
+        bidx = jnp.arange(B)[:, None]
+        src_beam = jnp.where(is_stay, stay_idx, exp_beam)  # [B, K]
+        new_prefixes = prefixes[bidx, src_beam]  # [B, K, T]
+        new_lengths = lengths[bidx, src_beam]
+        append_tok = top_tok[bidx, exp_tok_i]
+
+        # append token for expand candidates: scatter along axis 2 at
+        # per-beam positions via one-hot (static-shape friendly)
+        pos_idx = jnp.clip(new_lengths, 0, T - 1)
+        onehot = jax.nn.one_hot(pos_idx, T, dtype=jnp.int32)  # [B, K, T]
+        appended_prefixes = new_prefixes * (1 - onehot) + append_tok[:, :, None] * onehot
+
+        new_prefixes = jnp.where(is_stay[:, :, None], new_prefixes, appended_prefixes)
+        new_lengths = jnp.where(is_stay, new_lengths, jnp.minimum(new_lengths + 1, T))
+        new_pb = jnp.where(is_stay, stay_pb[bidx, stay_idx], NEG)
+        new_pnb = jnp.where(
+            is_stay, stay_pnb[bidx, stay_idx], exp_pnb[bidx, exp_beam, exp_tok_i]
+        )
+        return (new_prefixes, new_lengths, new_pb, new_pnb), None
+
+    (prefixes, lengths, pb, pnb), _ = jax.lax.scan(frame, (prefixes, lengths, pb, pnb), jnp.swapaxes(log_probs, 0, 1))
+    total = lse(pb, pnb)
+    # zero out beyond length
+    pos = jnp.arange(T)[None, None, :]
+    prefixes = jnp.where(pos < lengths[:, :, None], prefixes, 0)
+    return prefixes, total

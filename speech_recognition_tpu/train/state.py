@@ -1,0 +1,100 @@
+"""Train state and jitted train/eval steps.
+
+Replaces the Keras compile/fit machinery (reference run/train.py:156-217)
+with explicit functional steps: forward (mutable batch_stats) -> loss ->
+grad -> optax update, all inside one jitted, donated-buffer function.  Under
+a multi-device mesh the same step runs SPMD: batch sharded over 'data',
+gradient psums inserted automatically by XLA.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    metric_fns=(),
+    needs_teacher_forcing_rng: bool = False,
+) -> Callable:
+    """Build the jitted train step: (state, model_input, y_true, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, model_input, y_true, rng):
+        rng_names = ["dropout"] + (["teacher_forcing"] if needs_teacher_forcing_rng else [])
+        rngs = dict(zip(rng_names, jax.random.split(rng, len(rng_names))))
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, model_input, training=True, rngs=rngs, mutable=mutable)
+            logits, updates = out if mutable else (out, {})
+            loss = loss_fn(y_true, logits)
+            return loss, (logits, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss}
+        for name, fn in metric_fns:
+            correct, count = fn(y_true, logits)
+            metrics[f"{name}_sum"] = correct
+            metrics[f"{name}_count"] = count
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, loss_fn: Callable, metric_fns=()) -> Callable:
+    """Build the jitted eval step: (state, model_input, y_true) -> metrics."""
+
+    def eval_step(state: TrainState, model_input, y_true):
+        logits = model.apply(state.variables, model_input, training=False)
+        metrics = {"loss": loss_fn(y_true, logits)}
+        for name, fn in metric_fns:
+            correct, count = fn(y_true, logits)
+            metrics[f"{name}_sum"] = correct
+            metrics[f"{name}_count"] = count
+        return metrics
+
+    return jax.jit(eval_step)

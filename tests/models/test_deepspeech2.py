@@ -1,0 +1,93 @@
+"""DeepSpeech2 model tests (mirrors reference tests/models/test_deepspeech2.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.models import DeepSpeech2
+from speech_recognition_tpu.models.deepspeech2 import Convolution, Recurrent
+
+
+def test_convolution_shapes_and_mask():
+    rng = jax.random.PRNGKey(0)
+    conv = Convolution(2, (4, 8), ((11, 5), (7, 3)), ((2, 2), (2, 1)))
+    audio = jax.random.uniform(rng, (3, 64, 20, 3), minval=0.1)
+    variables = conv.init(rng, audio)
+    out, mask = conv.apply(variables, audio)
+    t1 = (64 - 11) // 2 + 1
+    t2 = (t1 - 7) // 2 + 1
+    f1 = (20 - 5) // 2 + 1
+    f2 = (f1 - 3) // 1 + 1
+    assert out.shape == (3, t2, f2 * 8)
+    assert mask.shape == (3, t2) and bool(mask.all())
+
+
+def test_convolution_mask_tracks_lengths():
+    rng = jax.random.PRNGKey(1)
+    conv = Convolution(1, (4,), ((5, 3),), ((2, 2),))
+    audio = jnp.ones((2, 32, 8, 1))
+    # second example: only first 16 frames valid
+    audio = audio.at[1, 16:].set(0.0)
+    variables = conv.init(rng, audio)
+    _, mask = conv.apply(variables, audio)
+    assert int(mask[0].sum()) == (32 - 5) // 2 + 1
+    assert int(mask[1].sum()) == (16 - 5) // 2 + 1
+
+
+@pytest.mark.parametrize("rnn_type", ["rnn", "lstm", "gru"])
+def test_recurrent_pad_invariance(rnn_type):
+    rng = jax.random.PRNGKey(2)
+    rec = Recurrent(rnn_type, 2, 16)
+    x = jax.random.normal(rng, (2, 10, 8))
+    mask = jnp.ones((2, 10), bool)
+    variables = rec.init(rng, x, mask)
+    out = rec.apply(variables, x, mask)
+    assert out.shape == (2, 10, 32)
+
+    x_pad = jnp.concatenate([x, jax.random.normal(rng, (2, 4, 8))], axis=1)
+    mask_pad = jnp.concatenate([mask, jnp.zeros((2, 4), bool)], axis=1)
+    out_pad = rec.apply(variables, x_pad, mask_pad)
+    np.testing.assert_allclose(out_pad[:, :10], out, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "rnn_type,vocab,batch,audio_len,audio_dim",
+    [("gru", 64, 2, 50, 20), ("lstm", 111, 3, 64, 16)],
+)
+def test_deepspeech2_output_shape(rnn_type, vocab, batch, audio_len, audio_dim):
+    rng = jax.random.PRNGKey(3)
+    model = DeepSpeech2(
+        2, (4, 8), ((11, 5), (7, 3)), ((2, 2), (2, 1)), rnn_type, 2, 16, 0.1, 0.0, vocab, 14
+    )
+    audio = jax.random.uniform(rng, (batch, audio_len, audio_dim, 3), minval=0.1)
+    variables = model.init({"params": rng}, audio)
+    out = model.apply(variables, audio)
+    t1 = (audio_len - 11) // 2 + 1
+    t2 = (t1 - 7) // 2 + 1
+    assert out.shape == (batch, t2, vocab)
+
+    out_t, mutated = model.apply(
+        variables, audio, training=True, rngs={"dropout": rng}, mutable=["batch_stats"]
+    )
+    assert out_t.shape == out.shape and "batch_stats" in mutated
+
+
+def test_deepspeech2_ctc_loss():
+    rng = jax.random.PRNGKey(4)
+    model = DeepSpeech2(1, (4,), ((11, 5),), ((2, 2),), "gru", 1, 16, 0.0, 0.0, 30, 14)
+    audio = jax.random.uniform(rng, (2, 64, 12, 1), minval=0.1)
+    variables = model.init({"params": rng}, audio)
+    logits = model.apply(variables, audio)
+    labels = jnp.array([[5, 6, 7, 0, 0], [3, 4, 0, 0, 0]], jnp.int32)
+    loss = model.get_loss_fn()(labels, logits)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert model.get_metrics() == []
+
+
+def test_deepspeech2_example_plumbing():
+    audio = np.zeros((10, 4, 1), np.float32)
+    tokens = np.arange(5, dtype=np.int32)
+    a, y = DeepSpeech2.make_example(audio, tokens)
+    assert a is audio and y is tokens
+    assert DeepSpeech2.get_batching_shape(100, 20, 80, 3) == ([100, 80, 3], [20])

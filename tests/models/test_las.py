@@ -1,0 +1,132 @@
+"""LAS model tests (mirrors reference tests/models/test_las.py coverage:
+shape checks + the pad-invariance property of masked recurrences)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.models import LAS
+from speech_recognition_tpu.models.las import Attention, Listener
+from speech_recognition_tpu.ops.rnn import BiRNN
+
+
+@pytest.mark.parametrize("hidden_dim,seq_len,batch", [(32, 13, 5), (64, 33, 7), (1, 1, 1)])
+def test_attention_shapes(hidden_dim, seq_len, batch):
+    attn = Attention(hidden_dim)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (batch, hidden_dim))
+    k = jax.random.normal(rng, (batch, seq_len, hidden_dim))
+    mask = jax.random.normal(rng, (batch, seq_len)) > -0.5
+    variables = attn.init(rng, q, k, k, mask)
+    out = attn.apply(variables, q, k, k, mask)
+    assert out.shape == (batch, hidden_dim)
+    # hoisted key projection path must be identical
+    projected = attn.apply(variables, k, method=Attention.project_keys)
+    out2 = attn.apply(variables, q, k, k, mask, projected_key=projected)
+    np.testing.assert_allclose(out, out2, rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "rnn_type,units,batch,seq_len,feat,pad_len",
+    [("rnn", 13, 5, 11, 8, 3), ("lstm", 33, 4, 21, 2, 4), ("gru", 24, 5, 3, 9, 5)],
+)
+def test_birnn_pad_invariance(rnn_type, units, batch, seq_len, feat, pad_len):
+    rng = jax.random.PRNGKey(1)
+    layer = BiRNN(rnn_type, units)
+    x = jax.random.normal(rng, (batch, seq_len, feat))
+    mask = jnp.ones((batch, seq_len), bool)
+    variables = layer.init(rng, x, mask)
+    out, *states = layer.apply(variables, x, mask)
+    assert out.shape == (batch, seq_len, units * 2)
+    assert states[0].shape == (batch, units)
+
+    # appending masked padding must not change outputs on the valid prefix
+    x_pad = jnp.concatenate([x, jax.random.normal(rng, (batch, pad_len, feat))], axis=1)
+    mask_pad = jnp.concatenate([mask, jnp.zeros((batch, pad_len), bool)], axis=1)
+    out_pad, *states_pad = layer.apply(variables, x_pad, mask_pad)
+    np.testing.assert_allclose(out_pad[:, :seq_len], out, rtol=1e-5, atol=1e-6)
+    for s, sp in zip(states, states_pad):
+        np.testing.assert_allclose(s, sp, rtol=1e-5, atol=1e-6)
+
+
+def test_birnn_state_threading():
+    rng = jax.random.PRNGKey(2)
+    layer = BiRNN("lstm", 8)
+    x = jax.random.normal(rng, (2, 5, 3))
+    mask = jnp.ones((2, 5), bool)
+    variables = layer.init(rng, x, mask)
+    out, *states = layer.apply(variables, x, mask)
+    assert len(states) == 4  # fwd_h, fwd_c, bwd_h, bwd_c
+    out2, *_ = layer.apply(variables, x, mask, tuple(states))
+    assert out2.shape == out.shape and not np.allclose(out2, out)
+
+
+@pytest.mark.parametrize("rnn_type", ["rnn", "lstm", "gru"])
+def test_listener_pad_invariance(rnn_type):
+    rng = jax.random.PRNGKey(3)
+    listener = Listener(rnn_type, 8, 8, 2, 0.0)
+    audio = jax.random.uniform(rng, (2, 24, 10, 3), minval=0.1)
+    variables = listener.init(rng, audio)
+    out, mask, *states = listener.apply(variables, audio)
+    assert out.shape[0] == 2 and out.shape[2] == 16
+    assert bool(mask.all())
+
+    audio_pad = jnp.concatenate([audio, jnp.zeros((2, 8, 10, 3))], axis=1)
+    out_pad, mask_pad, *states_pad = listener.apply(variables, audio_pad)
+    valid = int(mask.sum(1)[0])
+    np.testing.assert_allclose(out_pad[:, :valid], out[:, :valid], rtol=1e-4, atol=1e-5)
+    assert int(mask_pad.sum(1)[0]) == valid
+
+
+@pytest.mark.parametrize(
+    "rnn_type,vocab,hidden,n_enc,n_dec,batch,audio_dim,audio_len,n_tokens",
+    [
+        ("rnn", 123, 12, 1, 2, 3, 20, 12, 8),
+        ("lstm", 77, 16, 2, 2, 2, 16, 33, 5),
+        ("gru", 12, 12, 2, 2, 4, 12, 12, 12),
+    ],
+)
+def test_las_output_shape(rnn_type, vocab, hidden, n_enc, n_dec, batch, audio_dim, audio_len, n_tokens):
+    rng = jax.random.PRNGKey(4)
+    las = LAS(rnn_type, vocab, hidden, hidden, n_enc, n_dec, 0.1, 0.9)
+    audio = jax.random.normal(rng, (batch, audio_len, audio_dim, 3))
+    tokens = jax.random.randint(rng, (batch, n_tokens), 0, vocab)
+    variables = las.init({"params": rng}, (audio, tokens))
+    out = las.apply(variables, (audio, tokens))
+    assert out.shape == (batch, n_tokens, vocab)
+
+    # training path with dropout + teacher forcing rngs and batch_stats mutation
+    out_t, mutated = las.apply(
+        variables,
+        (audio, tokens),
+        training=True,
+        rngs={"dropout": rng, "teacher_forcing": rng},
+        mutable=["batch_stats"],
+    )
+    assert out_t.shape == (batch, n_tokens, vocab)
+    assert "batch_stats" in mutated
+
+
+def test_las_loss_and_metrics():
+    rng = jax.random.PRNGKey(5)
+    las = LAS("lstm", 50, 8, 8, 1, 1, 0.0, 1.0)
+    audio = jax.random.normal(rng, (2, 16, 8, 3))
+    tokens = jax.random.randint(rng, (2, 6), 1, 50)
+    variables = las.init({"params": rng}, (audio, tokens))
+    logits = las.apply(variables, (audio, tokens))
+    loss = las.get_loss_fn()(tokens, logits)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    (name, metric_fn), = las.get_metrics()
+    correct, count = metric_fn(tokens, logits)
+    assert name == "accuracy" and float(count) == 12.0
+
+
+def test_las_make_example_and_batching_shape():
+    audio = np.zeros((10, 4, 1), np.float32)
+    tokens = np.arange(5, dtype=np.int32)
+    (a, dec_in), y = LAS.make_example(audio, tokens)
+    np.testing.assert_array_equal(dec_in, tokens[:-1])
+    np.testing.assert_array_equal(y, tokens[1:])
+    shapes = LAS.get_batching_shape(100, 20, 80, 3)
+    assert shapes == (([100, 80, 3], [19]), [19])

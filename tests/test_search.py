@@ -1,0 +1,122 @@
+"""Search consistency oracles (mirrors reference tests/test_search.py):
+beam_size=1 beam search must match greedy search for both model families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tpu.models import LAS, DeepSpeech2
+from speech_recognition_tpu.search import DeepSpeechSearcher, LASSearcher
+
+
+def test_las_beam1_equals_greedy():
+    rng = jax.random.PRNGKey(0)
+    model = LAS("lstm", 100, 32, 32, 1, 1, 0.1, 0.99)
+    audio = jax.random.uniform(rng, (8, 10, 20, 3), maxval=100.0)
+    tokens = jax.random.randint(rng, (8, 15), 0, 100)
+    variables = model.init({"params": rng}, (audio, tokens))
+
+    searcher = LASSearcher(model, variables, max_token_length=17, bos_id=2, eos_id=3)
+    greedy_tokens, greedy_ppl = searcher.greedy_search(audio)
+    beam_tokens, beam_ppl = searcher.beam_search(audio, 1)
+
+    np.testing.assert_array_equal(np.asarray(beam_tokens[:, 0, :]), np.asarray(greedy_tokens))
+    np.testing.assert_allclose(np.asarray(beam_ppl[:, 0]), np.asarray(greedy_ppl), rtol=1e-4)
+
+
+def test_las_beam_search_shapes_and_ordering():
+    rng = jax.random.PRNGKey(1)
+    model = LAS("gru", 50, 16, 16, 1, 1, 0.0, 1.0)
+    audio = jax.random.uniform(rng, (4, 12, 10, 3), maxval=10.0)
+    tokens = jax.random.randint(rng, (4, 6), 0, 50)
+    variables = model.init({"params": rng}, (audio, tokens))
+    searcher = LASSearcher(model, variables, max_token_length=9, bos_id=2, eos_id=3)
+    beams, ppl = searcher.beam_search(audio, 3)
+    assert beams.shape == (4, 3, 9)
+    assert ppl.shape == (4, 3)
+    assert bool((beams[:, :, 0] == 2).all())  # all beams start with BOS
+
+
+def test_las_greedy_eos_padding():
+    rng = jax.random.PRNGKey(2)
+    model = LAS("lstm", 20, 8, 8, 1, 1, 0.0, 1.0)
+    audio = jax.random.uniform(rng, (3, 10, 8, 3), maxval=10.0)
+    tokens = jax.random.randint(rng, (3, 5), 0, 20)
+    variables = model.init({"params": rng}, (audio, tokens))
+    searcher = LASSearcher(model, variables, max_token_length=12, bos_id=2, eos_id=3, pad_id=0)
+    out, ppl = searcher.greedy_search(audio)
+    out = np.asarray(out)
+    for row in out:
+        eos_positions = np.nonzero(row == 3)[0]
+        if len(eos_positions):
+            assert (row[eos_positions[0] + 1 :] == 0).all()
+    assert np.isfinite(np.asarray(ppl)).all()
+
+
+def _peaked_log_probs(path, vocab, peak=12.0):
+    """[T] token path -> [1, T, V] log-softmax with a dominant per-frame token."""
+    T = len(path)
+    logits = np.zeros((1, T, vocab), np.float32)
+    logits[0, np.arange(T), path] = peak
+    return jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+
+
+def test_ctc_greedy_decode_gold_cases():
+    from speech_recognition_tpu.search import ctc_greedy_decode
+
+    blank = 0
+    # path a a _ a b b _ _ c -> a a b c  (blank-separated repeat survives)
+    lp = _peaked_log_probs([1, 1, 0, 1, 2, 2, 0, 0, 3], 5)
+    tokens, logp = ctc_greedy_decode(lp, blank)
+    row = np.asarray(tokens)[0]
+    np.testing.assert_array_equal(row[row != 0], [1, 1, 2, 3])
+    assert float(logp[0]) <= 0.0
+
+
+def test_ctc_beam1_equals_greedy_on_peaked_logits():
+    from speech_recognition_tpu.search import ctc_beam_decode, ctc_greedy_decode
+
+    blank = 4
+    rng = np.random.default_rng(0)
+    paths = rng.integers(0, 5, (6, 30))
+    lps = jnp.concatenate([_peaked_log_probs(p, 6, peak=20.0) for p in paths])
+    g_tokens, _ = ctc_greedy_decode(lps, blank)
+    b_tokens, _ = ctc_beam_decode(lps, blank, 1)
+    np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens[:, 0, :]))
+
+
+def test_ctc_beam_beats_greedy_on_merged_paths():
+    """Classic CTC case: per-frame argmax picks blank, but two non-blank paths
+    sum to a higher-probability labeling — prefix beam search must find it."""
+    from speech_recognition_tpu.search import ctc_beam_decode, ctc_greedy_decode
+
+    blank = 0
+    # frame probs: p(blank)=0.4, p(a)=0.35, p(b)=0.25 at both frames
+    probs = np.array([[[0.4, 0.35, 0.25], [0.4, 0.35, 0.25]]], np.float32)
+    lp = jnp.log(jnp.asarray(probs))
+    g_tokens, _ = ctc_greedy_decode(lp, blank)
+    assert (np.asarray(g_tokens) == 0).all()  # greedy: blank blank -> empty
+    b_tokens, b_logp = ctc_beam_decode(lp, blank, 2)
+    # best labeling is "a": paths (a,a),(a,_),(_,a) sum to 0.35*0.35+2*0.4*0.35 = 0.4025
+    top = np.asarray(b_tokens)[0, 0]
+    np.testing.assert_array_equal(top[top != 0], [1])
+    np.testing.assert_allclose(float(jnp.exp(b_logp)[0, 0]), 0.4025, rtol=1e-5)
+
+
+def test_deepspeech_searcher_end_to_end_shapes():
+    rng = jax.random.PRNGKey(3)
+    blank = 33
+    model = DeepSpeech2(1, (8,), ((41, 11),), ((2, 2),), "lstm", 1, 24, 0.1, 0.1, 111, blank, 1)
+    audio = jax.random.uniform(rng, (4, 300, 123, 3), maxval=100.0)
+    variables = model.init({"params": rng}, audio)
+
+    searcher = DeepSpeechSearcher(model, variables, blank)
+    greedy_tokens, greedy_prob = searcher.greedy_search(audio)
+    beam_tokens, beam_prob = searcher.beam_search(audio, 3)
+    T2 = greedy_tokens.shape[1]
+    assert beam_tokens.shape == (4, 3, T2)
+    assert beam_prob.shape == (4, 3)
+    assert (np.asarray(greedy_tokens) != blank).all()
+    # beam scores are sorted descending
+    bp = np.asarray(beam_prob)
+    assert (np.diff(bp, axis=1) <= 1e-6).all()
