@@ -1,0 +1,3 @@
+from .tf_checkpoint import convert_tf_checkpoint
+
+__all__ = ["convert_tf_checkpoint"]

@@ -1,0 +1,119 @@
+"""Evaluation entry point: decode a dataset, report WER/CER.
+
+CLI surface parity with reference speech_recognition/run/evaluate.py.
+"""
+
+import argparse
+import csv
+import sys
+
+from ..utils import get_logger, levenshtein_distance, open_file
+
+# fmt: off
+parser = argparse.ArgumentParser("This is script to evaluate (decode and score) a trained model")
+parser.add_argument("--data-config", type=str, required=True, help="data processing config file")
+parser.add_argument("--model-config", type=str, required=True, help="model config file")
+parser.add_argument("--dataset-paths", required=True, help="a tsv/tfrecord dataset file or multiple files ex) *.tsv")
+parser.add_argument("--model-path", type=str, required=True, help="pretrained model checkpoint")
+parser.add_argument("--sp-model-path", type=str, required=True, help="sentencepiece model path")
+parser.add_argument("--output-path", help="output tsv file path to save generated sentences")
+parser.add_argument("--batch-size", type=int, default=512)
+parser.add_argument("--beam-size", type=int, default=0, help="not given, use greedy search else beam search with this value as beam size")
+parser.add_argument("--use-tfrecord", action="store_true", help="use tfrecord dataset")
+parser.add_argument("--mixed-precision", action="store_true", help="Use mixed precision")
+parser.add_argument("--device", type=str, default="CPU", help="device to run on")
+# fmt: on
+
+
+def main(args: argparse.Namespace):
+    logger = get_logger("evaluate")
+
+    from .common import build_variables, compute_dtype, create_model, select_device
+
+    select_device(args.device)
+
+    import numpy as np
+
+    from ..configs import DataConfig, get_model_config
+    from ..data import SentencePieceTokenizer, get_dataset, get_tfrecord_dataset, padded_batch
+    from ..models import LAS, DeepSpeech2
+    from ..ops.features import delta_accelerate
+    from ..search import DeepSpeechSearcher, LASSearcher
+    from ..train import restore_weights
+
+    import jax
+
+    if args.mixed_precision:
+        logger.info("[+] Use Mixed Precision (bfloat16)")
+
+    logger.info(f"[+] Load Tokenizer from {args.sp_model_path}")
+    with open_file(args.sp_model_path, "rb") as f:
+        tokenizer = SentencePieceTokenizer(f.read(), add_bos=True, add_eos=True)
+    bos_id, eos_id = tokenizer.tokenize("")
+
+    logger.info(f"[+] Load Data Config from {args.data_config}")
+    config = DataConfig.from_yaml(args.data_config)
+
+    # ------------------------------------------------------------------ dataset
+    if args.use_tfrecord:
+        logger.info(f"[+] Load TFRecord dataset from {args.dataset_paths}")
+        stream = get_tfrecord_dataset(args.dataset_paths)
+    else:
+        logger.info(f"[+] Load dataset from {args.dataset_paths}")
+        feature_fn = config.make_audio_feature_fn("numpy")
+        raw = get_dataset(args.dataset_paths, config.file_format, config.sample_rate, tokenizer)
+        stream = ((feature_fn(audio), tokens) for audio, tokens in raw)
+    if config.use_delta_accelerate:
+        logger.info("[+] Use delta and deltas accelerate")
+        stream = ((delta_accelerate(a), t) for a, t in stream)
+
+    # -------------------------------------------------------------------- model
+    model_config = get_model_config(args.model_config)
+    dtype = compute_dtype(args.mixed_precision, args.device)
+    model = create_model(model_config, dtype)
+    variables = build_variables(model, model_config, config, jax.random.PRNGKey(0))
+    logger.info(f"[+] Load weights of model from {args.model_path}")
+    variables = dict(restore_weights(args.model_path, variables))
+
+    if isinstance(model, LAS):
+        searcher = LASSearcher(model, variables, config.max_token_length, bos_id, eos_id, model_config.pad_id)
+    elif isinstance(model, DeepSpeech2):
+        searcher = DeepSpeechSearcher(model, variables, model_config.blank_index)
+
+    audio_pad = config.max_audio_length if args.device == "TPU" else None
+    token_pad = config.max_token_length if args.device == "TPU" else None
+
+    # ---------------------------------------------------------------- inference
+    logger.info("[+] Start Inference")
+    outputs = []
+    for batch_audio, batch_tokens in padded_batch(stream, args.batch_size, audio_pad, token_pad):
+        if args.beam_size > 0:
+            batch_output = np.asarray(searcher.beam_search(batch_audio, args.beam_size)[0][:, 0, :])
+        else:
+            batch_output = np.asarray(searcher.greedy_search(batch_audio)[0])
+        outputs.extend(zip(batch_output, batch_tokens))
+    logger.info("[+] Ended Inference")
+
+    to_str = lambda tokens: tokenizer.detokenize([int(t) for t in tokens])
+    outputs = [(to_str(pred), to_str(target)) for pred, target in outputs]
+
+    wers, cers = [], []
+    for pred, target in outputs:
+        wers.append(levenshtein_distance(target.split(), pred.split(), True))
+        cers.append(levenshtein_distance(target, pred, True))
+
+    logger.info(f"[+] Average WER: {sum(wers) / len(wers) * 100:.4f}%")
+    logger.info(f"[+] Average CER: {sum(cers) / len(cers) * 100:.4f}%")
+
+    if args.output_path:
+        with open(args.output_path, "w") as fout:
+            wtr = csv.writer(fout, delimiter="\t")
+            wtr.writerow(["Prediction", "Target", "WER", "CER"])
+            for (pred, target), wer, cer in zip(outputs, wers, cers):
+                wtr.writerow((pred, target, wer, cer))
+        logger.info(f"[+] Saved (Prediction, Target) pairs to {args.output_path}")
+    return 0 if outputs else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(parser.parse_args()))

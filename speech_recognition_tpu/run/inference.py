@@ -1,0 +1,116 @@
+"""Inference entry point: decode bare audio files into sentences.
+
+CLI surface parity with reference speech_recognition/run/inference.py.
+"""
+
+import argparse
+import csv
+import sys
+
+from ..utils import get_logger, glob, open_file
+
+# fmt: off
+parser = argparse.ArgumentParser("This is script to inference (generate sentence) with a trained model")
+parser.add_argument("--data-config", type=str, required=True, help="data processing config file")
+parser.add_argument("--model-config", type=str, required=True, help="model config file")
+parser.add_argument("--audio-files", required=True, help="an audio file or glob pattern of multiple files ex) *.pcm")
+parser.add_argument("--model-path", type=str, required=True, help="pretrained model checkpoint")
+parser.add_argument("--output-path", default="output.tsv", help="output tsv file path to save generated sentences")
+parser.add_argument("--sp-model-path", type=str, required=True, help="sentencepiece model path")
+parser.add_argument("--batch-size", type=int, default=512)
+parser.add_argument("--beam-size", type=int, default=0, help="not given, use greedy search else beam search with this value as beam size")
+parser.add_argument("--mixed-precision", action="store_true", help="Use mixed precision")
+parser.add_argument("--device", type=str, default="CPU", help="device to run on")
+# fmt: on
+
+
+def main(args: argparse.Namespace):
+    logger = get_logger("inference")
+
+    from .common import build_variables, compute_dtype, create_model, select_device
+
+    select_device(args.device)
+
+    import jax
+    import numpy as np
+
+    from ..configs import DataConfig, get_model_config
+    from ..data import SentencePieceTokenizer, load_audio_file
+    from ..models import LAS, DeepSpeech2
+    from ..ops.features import delta_accelerate
+    from ..search import DeepSpeechSearcher, LASSearcher
+    from ..train import restore_weights
+
+    if args.mixed_precision:
+        logger.info("[+] Use Mixed Precision (bfloat16)")
+
+    with open_file(args.sp_model_path, "rb") as f:
+        tokenizer = SentencePieceTokenizer(f.read(), add_bos=True, add_eos=True)
+    bos_id, eos_id = tokenizer.tokenize("")
+
+    dataset_files = sorted(glob(args.audio_files))
+    if not dataset_files:
+        logger.error("[Error] Dataset path is invalid!")
+        sys.exit(1)
+
+    logger.info(f"Load Data Config from {args.data_config}")
+    config = DataConfig.from_yaml(args.data_config)
+
+    # resample to the config rate, as the reference does (run/inference.py:59)
+    load_fn = load_audio_file(config.sample_rate, config.file_format, config.sample_rate)
+    feature_fn = config.make_audio_feature_fn("numpy")
+
+    def stream():
+        for path in dataset_files:
+            feat = feature_fn(load_fn(path))
+            if config.use_delta_accelerate:
+                feat = delta_accelerate(feat)
+            yield feat
+
+    model_config = get_model_config(args.model_config)
+    dtype = compute_dtype(args.mixed_precision, args.device)
+    model = create_model(model_config, dtype)
+    variables = build_variables(model, model_config, config, jax.random.PRNGKey(0))
+    variables = dict(restore_weights(args.model_path, variables))
+    logger.info(f"Loaded weights of model from {args.model_path}")
+
+    if isinstance(model, LAS):
+        searcher = LASSearcher(model, variables, config.max_token_length, bos_id, eos_id, model_config.pad_id)
+    elif isinstance(model, DeepSpeech2):
+        searcher = DeepSpeechSearcher(model, variables, model_config.blank_index)
+
+    logger.info("Start Inference")
+    outputs = []
+    batch = []
+
+    def _flush():
+        if not batch:
+            return
+        max_len = max(f.shape[0] for f in batch)
+        audio = np.stack([np.pad(f, [(0, max_len - f.shape[0])] + [(0, 0)] * (f.ndim - 1)) for f in batch])
+        if args.beam_size > 0:
+            decoded = np.asarray(searcher.beam_search(audio, args.beam_size)[0][:, 0, :])
+        else:
+            decoded = np.asarray(searcher.greedy_search(audio)[0])
+        outputs.extend(decoded)
+        batch.clear()
+
+    for feat in stream():
+        batch.append(feat)
+        if len(batch) == args.batch_size:
+            _flush()
+    _flush()
+
+    sentences = [tokenizer.detokenize([int(t) for t in out]) for out in outputs]
+    logger.info("Ended Inference, Start to save...")
+
+    with open(args.output_path, "w") as fout:
+        wtr = csv.writer(fout, delimiter="\t")
+        wtr.writerow(["AudioPath", "DecodedSentence"])
+        for audio_path, decoded_sentence in zip(dataset_files, sentences):
+            wtr.writerow((audio_path, decoded_sentence))
+    logger.info(f"Saved (audio path,decoded sentence) pairs to {args.output_path}")
+
+
+if __name__ == "__main__":
+    sys.exit(main(parser.parse_args()))

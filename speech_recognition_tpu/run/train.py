@@ -190,7 +190,22 @@ def main(cfg: TrainConfig):
     tx = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
     state = TrainState.create(variables, tx)
 
-    mesh = get_device_mesh()
+    # static shapes whenever lengths are bounded (policy set or TPU); otherwise
+    # per-batch dynamic padding (compiles per distinct shape)
+    static = cfg.max_over_policy is not None or cfg.device == "TPU"
+
+    # data-parallel degree: the largest device count dividing both batch sizes;
+    # partial batches only exist in dynamic mode, so sharding requires static
+    import jax as _jax
+
+    n_devices = len(_jax.devices())
+    dp = 1
+    if static:
+        for d in range(min(n_devices, cfg.batch_size), 0, -1):
+            if cfg.batch_size % d == 0 and cfg.dev_batch_size % d == 0:
+                dp = d
+                break
+    mesh = get_device_mesh(data_parallel=dp, model_parallel=1)
     multi_device = mesh.devices.size > 1
     if multi_device:
         logger.info(f"[+] SPMD over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
@@ -207,9 +222,6 @@ def main(cfg: TrainConfig):
     eval_step = make_eval_step(model, model.get_loss_fn(), model.get_metrics())
 
     # -------------------------------------------------------------- batching
-    # static shapes whenever lengths are bounded (policy set or TPU); otherwise
-    # per-batch pad rounded up to coarse buckets to bound compile count
-    static = cfg.max_over_policy is not None or cfg.device == "TPU"
     audio_pad = cfg.audio_pad_length if static else None
     token_pad = cfg.token_pad_length if static else None
 

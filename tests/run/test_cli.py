@@ -1,0 +1,161 @@
+"""End-to-end CLI smoke tests on tiny fixtures (mirrors reference tests/run).
+
+These drive the real ``main(parser.parse_args([...]))`` entry points on CPU
+with a 2-example dataset and mini model configs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ..const import SP_MODEL_LIBRI, TEST_DATA_DIR, TEST_DS_CONFIG, TEST_LAS_CONFIG, WAV_DATASET_PATH
+
+MINI_DATA_CONFIG = os.path.join(TEST_DATA_DIR, "mini_data_config.yml")
+
+
+def _train_args(tmp_path, model_config, extra=()):
+    return [
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", model_config,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--train-dataset-paths", WAV_DATASET_PATH,
+        "--dev-dataset-paths", WAV_DATASET_PATH,
+        "--train-dataset-size", "2",
+        "--output-path", str(tmp_path / "output"),
+        "--epochs", "2",
+        "--steps-per-epoch", "1",
+        "--learning-rate", "1e-3",
+        "--batch-size", "2",
+        "--dev-batch-size", "2",
+        "--shuffle-buffer-size", "1",
+        "--max-over-policy", "slice",
+        "--device", "CPU",
+        "--seed", "42",
+        *extra,
+    ]
+
+
+@pytest.mark.parametrize("model_config", [TEST_LAS_CONFIG, TEST_DS_CONFIG])
+def test_train_cli(tmp_path, model_config):
+    from speech_recognition_tpu.run.train import main, parser
+
+    from speech_recognition_tpu.configs import TrainConfig
+
+    config = vars(parser.parse_args(_train_args(tmp_path, model_config)))
+    main(TrainConfig(**config))
+
+    out = tmp_path / "output"
+    assert (out / "train_configs.txt").exists()
+    assert (out / "data-config.yml").exists()
+    models_dir = out / "models"
+    checkpoints = list(models_dir.iterdir())
+    assert len(checkpoints) == 2  # one per epoch
+
+
+def test_train_cli_mixed_precision_tfrecord(tmp_path):
+    # build a tfrecord from the tsv first, then train from it
+    from speech_recognition_tpu.run.make_tfrecord import main as mtf_main, parser as mtf_parser
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    mtf_main(mtf_parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--output-dir", str(tmp_path),
+        "--sp-model-path", SP_MODEL_LIBRI,
+    ]))
+    tfrecord = str(tmp_path / "wav_dataset.tfrecord")
+    assert os.path.exists(tfrecord)
+
+    args = _train_args(tmp_path, TEST_DS_CONFIG, extra=["--use-tfrecord", "--mixed-precision"])
+    # swap dataset paths to the tfrecord
+    idx = args.index("--train-dataset-paths")
+    args[idx + 1] = tfrecord
+    idx = args.index("--dev-dataset-paths")
+    args[idx + 1] = tfrecord
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
+def _make_checkpoint(tmp_path, model_config_path):
+    """Save a randomly initialized weights checkpoint for decode-only CLIs."""
+    import jax
+
+    from speech_recognition_tpu.configs import DataConfig, get_model_config
+    from speech_recognition_tpu.run.common import build_variables, create_model
+    from speech_recognition_tpu.train import save_weights
+    import jax.numpy as jnp
+
+    data_config = DataConfig.from_yaml(MINI_DATA_CONFIG)
+    model_config = get_model_config(model_config_path)
+    model = create_model(model_config, jnp.float32)
+    variables = build_variables(model, model_config, data_config, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_weights(path, dict(variables))
+    return path
+
+
+@pytest.mark.parametrize("model_config,beam", [(TEST_LAS_CONFIG, 0), (TEST_LAS_CONFIG, 2), (TEST_DS_CONFIG, 0), (TEST_DS_CONFIG, 2)])
+def test_evaluate_cli(tmp_path, model_config, beam):
+    from speech_recognition_tpu.run.evaluate import main, parser
+
+    ckpt = _make_checkpoint(tmp_path, model_config)
+    out_tsv = str(tmp_path / "eval.tsv")
+    args = parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", model_config,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", ckpt,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--beam-size", str(beam),
+        "--device", "CPU",
+    ])
+    main(args)
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3  # header + 2 examples
+
+
+@pytest.mark.parametrize("model_config", [TEST_LAS_CONFIG, TEST_DS_CONFIG])
+def test_inference_cli(tmp_path, model_config):
+    from speech_recognition_tpu.run.inference import main, parser
+
+    ckpt = _make_checkpoint(tmp_path, model_config)
+    out_tsv = str(tmp_path / "inference.tsv")
+    args = parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", model_config,
+        "--audio-files", os.path.join(TEST_DATA_DIR, "audio_files", "*.wav"),
+        "--model-path", ckpt,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+    ])
+    main(args)
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "AudioPath\tDecodedSentence"
+    assert len(lines) >= 2
+
+
+def test_make_tfrecord_roundtrip(tmp_path):
+    from speech_recognition_tpu.run.make_tfrecord import main, parser
+    from speech_recognition_tpu.data import get_tfrecord_dataset
+
+    main(parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--output-dir", str(tmp_path),
+        "--sp-model-path", SP_MODEL_LIBRI,
+    ]))
+    pairs = list(get_tfrecord_dataset(str(tmp_path / "wav_dataset.tfrecord")))
+    assert len(pairs) == 2
+    feat, tokens = pairs[0]
+    assert feat.ndim == 3 and feat.shape[1] == 40 and feat.dtype == np.float32
+    assert tokens.dtype == np.int32 and tokens[0] == 2  # BOS
