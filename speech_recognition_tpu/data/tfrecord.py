@@ -41,7 +41,14 @@ _T = [_TABLES[i] for i in range(8)]
 
 
 def crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli), slicing-by-8."""
+    """CRC-32C (Castagnoli), slicing-by-8.  Uses the native C++ implementation
+    when built (native/asr_native.cpp), numpy-table fallback otherwise."""
+    try:
+        from .native import crc32c_native
+
+        return crc32c_native(data)
+    except ImportError:
+        pass
     crc = 0xFFFFFFFF
     buf = np.frombuffer(data, dtype=np.uint8)
     n8 = len(buf) // 8 * 8

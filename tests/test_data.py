@@ -129,3 +129,29 @@ def test_spec_augment_bounds():
     zero_cols = int((out == 0).all(axis=(0, 2)).sum())
     assert zero_rows <= 2 * 70
     assert zero_cols <= 2 * 15
+
+
+def test_native_library_parity():
+    """Native C++ decoders must match the pure-Python implementations bit-for-bit."""
+    pytest.importorskip("ctypes")
+    from speech_recognition_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built (no compiler)")
+    from speech_recognition_tpu.data.tfrecord import _TABLES  # noqa: F401 force table build
+
+    assert native.crc32c_native(b"123456789") == 0xE3069283
+    wav_path = os.path.join(os.path.dirname(WAV_DATASET_PATH), "audio_files/test.wav")
+    w_native, sr = native.wav_decode_native(wav_path)
+    w_py, sr_py = decode_wav(wav_path)
+    assert sr == sr_py
+    np.testing.assert_array_equal(w_native, w_py)
+    if os.path.exists(REF_AUDIO_DIR):
+        flac_path = os.path.join(REF_AUDIO_DIR, "test.flac")
+        f_native, fsr = native.flac_decode_native(flac_path)
+        from speech_recognition_tpu.data.flac import decode_flac_bytes
+
+        with open(flac_path, "rb") as fh:
+            f_py, psr = decode_flac_bytes(fh.read())
+        assert fsr == psr
+        np.testing.assert_array_equal(f_native, f_py)
