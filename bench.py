@@ -3,10 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: utterances/sec/chip on a LibriSpeech-shaped synthetic batch
 (bf16 mixed precision, static max shapes: 1024 audio frames x 80 mel x 3,
-127 decoder positions — the reference's TPU static-shape contract).
-The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-reports the ratio against the driver-recorded first-round value when
-present in BENCH_r1.json, else null.
+127 decoder positions — the reference's TPU static-shape discipline).
+
+Timing methodology: on this environment block_until_ready can be a no-op
+(remote PJRT tunnel), so completion is forced by fetching the final step's
+scalar loss, and the per-step time is the difference between an N-step chain
+and a 1-step chain (cancels the constant fetch latency).  The reference
+publishes no throughput numbers (BASELINE.md); vs_baseline is the ratio
+against BENCH_r1.json when present.
 """
 
 import json
@@ -18,13 +22,15 @@ import time
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
 
     from speech_recognition_tpu.models import LAS
     from speech_recognition_tpu.train import TrainState, linear_warmup_decay, make_train_step
 
     platform = jax.default_backend()
-    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
+    on_tpu = platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     model = LAS(
         rnn_type="lstm",
@@ -38,9 +44,13 @@ def main():
         dtype=dtype,
     )
 
-    B = 32 if platform == "tpu" else 2
-    T = 1024 if platform == "tpu" else 64
-    N = 128 if platform == "tpu" else 8
+    B = 64 if on_tpu else 2
+    T = 1024 if on_tpu else 64
+    N = 128 if on_tpu else 8
+
+    # warm the transfer path first (first host<->device fetch pays a large
+    # one-time setup cost on the tunnel)
+    np.asarray(jnp.arange(4.0))
 
     rng = jax.random.PRNGKey(0)
     audio = jax.random.normal(rng, (B, T, 80, 3), jnp.float32)
@@ -56,26 +66,32 @@ def main():
     model_input = (audio, tokens[:, :-1])
     y_true = tokens[:, 1:]
 
-    # warmup / compile
-    for i in range(2):
-        state, metrics = train_step(state, model_input, y_true, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    def run_chain(state, n, seed):
+        for i in range(n):
+            state, metrics = train_step(state, model_input, y_true, jax.random.fold_in(rng, seed + i))
+        float(metrics["loss"])  # forces completion of the whole chain
+        return state
 
-    iters = 10 if platform == "tpu" else 3
-    start = time.perf_counter()
-    for i in range(iters):
-        state, metrics = train_step(state, model_input, y_true, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+    # compile + warmup
+    state = run_chain(state, 1, 0)
 
-    utt_per_sec = B * iters / elapsed
+    n_long = 8 if on_tpu else 3
+    t0 = time.perf_counter()
+    state = run_chain(state, 1, 100)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = run_chain(state, n_long, 200)
+    t_long = time.perf_counter() - t0
+
+    per_step = max((t_long - t_short) / (n_long - 1), 1e-9)
+    utt_per_sec = B / per_step
 
     vs_baseline = None
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r1.json")
     if os.path.exists(ref_path):
         try:
             with open(ref_path) as f:
-                vs_baseline = utt_per_sec / float(json.load(f)["value"])
+                vs_baseline = round(utt_per_sec / float(json.load(f)["value"]), 3)
         except Exception:
             vs_baseline = None
 

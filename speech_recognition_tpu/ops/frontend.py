@@ -1,0 +1,72 @@
+"""Fused on-device batch frontend: raw PCM -> model-ready features in one jit.
+
+The reference computed features per-example on the host inside tf.data
+(reference: run/train.py:70-116).  TPU-first alternative: ship padded raw
+audio [B, num_samples] to the device and compute framing -> STFT -> log-mel /
+MFCC -> SpecAugment -> delta-accelerate for the whole batch inside the train
+step's jit.  The mel projection and MFCC DCT are batched matmuls on the MXU;
+XLA fuses the elementwise chain; the host pipeline is left with nothing but
+decode + tokenize.
+
+Padding correctness: features at frames beyond each utterance's valid length
+are forced to exactly 0.0 so the models' pad-detection masks
+(models/las.py audio_frame_mask) see the same zero-padding the host
+per-example path produces.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DataConfig
+from . import features as F
+from .spec_augment import make_spec_augment
+
+
+def make_batch_frontend(config: DataConfig, spec_augment: bool = False):
+    """Build fn(audio [B, S], sample_lengths [B], key?) -> [B, T, F, C].
+
+    T = (max_samples - frame_length) // frame_step + 1 (static).
+    """
+    feature_fn = config.make_audio_feature_fn("jax")
+    sa_fn = None
+    if spec_augment and config.spec_augment.enable:
+        sa = config.spec_augment
+        sa_fn = make_spec_augment(
+            v=config.frequency_dim, W=sa.W, F=sa.F, m_F=sa.m_F, T=sa.T, p=sa.p, m_T=sa.m_T
+        )
+
+    frame_length, frame_step = config.frame_length, config.frame_step
+
+    def frontend(audio: jnp.ndarray, sample_lengths: jnp.ndarray, key: Optional[jax.Array] = None):
+        feats = jax.vmap(feature_fn)(audio)  # [B, T, F, 1]
+        num_frames = feats.shape[1]
+        # frames fully inside the valid samples: (len - frame_length)//step + 1
+        valid = jnp.maximum((sample_lengths - frame_length) // frame_step + 1, 0)
+        frame_mask = jnp.arange(num_frames)[None, :] < valid[:, None]
+        feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+
+        if sa_fn is not None and key is not None:
+            keys = jax.random.split(key, feats.shape[0])
+            feats = jax.vmap(sa_fn)(keys, feats)
+            feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+
+        if config.use_delta_accelerate:
+            feats = jax.vmap(F.delta_accelerate)(feats)
+            # delta at the first pad frame leaks a nonzero value; re-zero pads
+            feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+        return feats
+
+    return jax.jit(frontend) if sa_fn is None else jax.jit(frontend)
+
+
+def pad_audio_batch(audios, max_samples: int):
+    """Host helper: stack raw 1-D audios -> ([B, max_samples] f32, lengths [B])."""
+    lengths = np.array([min(len(a), max_samples) for a in audios], np.int32)
+    out = np.zeros((len(audios), max_samples), np.float32)
+    for i, a in enumerate(audios):
+        out[i, : lengths[i]] = a[: lengths[i]]
+    return out, lengths
