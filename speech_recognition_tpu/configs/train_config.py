@@ -69,6 +69,11 @@ class TrainConfig:
     skip_epochs: int = 0
     # device to use
     device: str = "CPU"
+    # capture a jax.profiler trace of N training steps into <output>/profile
+    profile_steps: Optional[int] = None
+    # fuse the audio feature frontend (STFT/mel/SpecAugment/delta) into the
+    # on-device training step; the host pipeline only decodes + tokenizes
+    on_device_frontend: bool = False
 
     def __post_init__(self):
         required = [

@@ -75,6 +75,22 @@ def init_state(rnn_type: str, batch: int, units: int, dtype) -> Tuple[jnp.ndarra
     return (zeros, zeros) if rnn_type == "lstm" else (zeros,)
 
 
+def _use_pallas_sequence(rnn_type: str, training: bool) -> bool:
+    """Use the Pallas full-sequence kernel (ops/pallas/rnn_kernel.py) for
+    inference-path LSTM/GRU on TPU.  Opt-in via SRT_PALLAS_RNN=1 (the kernel
+    is forward-only; training always takes the differentiable scan path)."""
+    import os
+
+    import jax
+
+    return (
+        not training
+        and rnn_type in ("lstm", "gru")
+        and os.environ.get("SRT_PALLAS_RNN", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def cell_step(
     rnn_type: str,
     x_proj_t: jnp.ndarray,
@@ -165,6 +181,20 @@ class RNN(nn.Module):
 
         mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, B, 1]
         x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # [T, B, G*H]
+
+        if _use_pallas_sequence(self.rnn_type, training):
+            from .pallas.rnn_kernel import rnn_sequence_pallas
+
+            outputs_t, final_state = rnn_sequence_pallas(
+                self.rnn_type,
+                x_proj_t,
+                mask_t,
+                recurrent_kernel,
+                recurrent_bias,
+                initial_state=state0,
+                reverse=self.reverse,
+            )
+            return jnp.swapaxes(outputs_t, 0, 1), final_state
 
         def body(state, inp):
             x_t, m_t = inp

@@ -45,6 +45,8 @@ parser.add_argument("--mixed-precision", action="store_true", help="use mixed pr
 parser.add_argument("--seed", type=int, help="Set random seed")
 parser.add_argument("--skip-epochs", type=int, help="skip first N epochs and start N + 1 epoch")
 parser.add_argument("--device", type=str, choices=["CPU", "GPU", "TPU"], help="device to use (TPU or GPU or CPU)")
+parser.add_argument("--profile-steps", type=int, help="capture a jax.profiler trace of N training steps into <output>/profile")
+parser.add_argument("--on-device-frontend", action="store_true", help="fuse the audio feature frontend into the on-device training step")
 # fmt: on
 
 
@@ -58,7 +60,8 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
 
     data_config = cfg.data_config
     paths = cfg.train_dataset_paths if train else cfg.dev_dataset_paths
-    feature_fn = data_config.make_audio_feature_fn("numpy")
+    raw_mode = cfg.on_device_frontend and not cfg.use_tfrecord
+    feature_fn = None if raw_mode else data_config.make_audio_feature_fn("numpy")
 
     spec_augment_fn = None
     if train and data_config.spec_augment.enable:
@@ -82,6 +85,27 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
                 tokenizer,
                 shuffle=train and cfg.shuffle_buffer_size > 1,
             )
+            if raw_mode:
+                # raw PCM to the device; features/SpecAugment/delta fuse into
+                # the jitted step.  Length policies act on frame counts.
+                fl, fs = data_config.frame_length, data_config.frame_step
+                max_samples = (data_config.max_audio_length - 1) * fs + fl
+
+                def _policy(stream):
+                    for audio, tokens in stream:
+                        frames = max((len(audio) - fl) // fs + 1, 0)
+                        if cfg.max_over_policy == "filter":
+                            if frames > data_config.max_audio_length or len(tokens) > data_config.max_token_length:
+                                continue
+                        elif cfg.max_over_policy == "slice":
+                            audio = audio[:max_samples]
+                            tokens = tokens[: data_config.max_token_length]
+                        elif cfg.device == "TPU":
+                            raise RuntimeError("You should set max-over-sequence-policy with TPU!")
+                        yield audio, tokens
+
+                seed_holder["epoch"] += 1
+                return _policy(raw)
             stream = ((feature_fn(audio), tokens) for audio, tokens in raw)
 
         if spec_augment_fn is not None:
@@ -216,13 +240,45 @@ def main(cfg: TrainConfig):
         )
 
     is_las = isinstance(model, LAS)
+    raw_mode = cfg.on_device_frontend and not cfg.use_tfrecord
+    train_preprocess = eval_preprocess = None
+    if raw_mode:
+        from ..ops.frontend import make_batch_frontend
+
+        logger.info("[+] Fused on-device audio frontend")
+        train_frontend = make_batch_frontend(cfg.data_config, spec_augment=True)
+        eval_frontend = make_batch_frontend(cfg.data_config, spec_augment=False)
+
+        def _make_preprocess(front):
+            def _pre(model_input, rng):
+                if is_las:
+                    (audio, lengths), dec_in = model_input
+                    return front(audio, lengths, rng), dec_in
+                audio, lengths = model_input
+                return front(audio, lengths, rng)
+
+            return _pre
+
+        train_preprocess = _make_preprocess(train_frontend)
+        eval_preprocess = _make_preprocess(eval_frontend)
+
     train_step = make_train_step(
-        model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=is_las
+        model,
+        model.get_loss_fn(),
+        model.get_metrics(),
+        needs_teacher_forcing_rng=is_las,
+        preprocess=train_preprocess,
     )
-    eval_step = make_eval_step(model, model.get_loss_fn(), model.get_metrics())
+    eval_step = make_eval_step(
+        model, model.get_loss_fn(), model.get_metrics(), preprocess=eval_preprocess
+    )
 
     # -------------------------------------------------------------- batching
-    audio_pad = cfg.audio_pad_length if static else None
+    if raw_mode:
+        fl, fs = cfg.data_config.frame_length, cfg.data_config.frame_step
+        audio_pad = (cfg.data_config.max_audio_length - 1) * fs + fl if static else None
+    else:
+        audio_pad = cfg.audio_pad_length if static else None
     token_pad = cfg.token_pad_length if static else None
 
     skip_examples = {"count": (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size}
@@ -235,6 +291,36 @@ def main(cfg: TrainConfig):
             skip_examples["count"] = 0
         if train and cfg.shuffle_buffer_size > 1:
             stream = shuffle_stream(stream, cfg.shuffle_buffer_size, seed=cfg.seed)
+        if raw_mode:
+            # keep per-example sample counts alongside the padded raw audio
+            stream = ((a, np.array([len(a)], np.int32), t) for a, t in stream)
+
+            def _triple_batches():
+                batch = []
+                for item in stream:
+                    batch.append(item)
+                    if len(batch) == batch_size:
+                        yield batch
+                        batch = []
+                if batch:
+                    yield batch
+
+            for batch in _triple_batches():
+                a_len = audio_pad or max(a.shape[0] for a, _, _ in batch)
+                t_len = token_pad or max(t.shape[0] for _, _, t in batch)
+                audio = np.stack([np.pad(a, (0, a_len - len(a))) for a, _, _ in batch])
+                lengths = np.array([int(l[0]) for _, l, _ in batch], np.int32)
+                tokens = np.stack([np.pad(t, (0, t_len - len(t))) for _, _, t in batch])
+                if static and len(batch) < batch_size:
+                    short = batch_size - len(batch)
+                    audio = np.concatenate([audio, np.zeros((short, a_len), np.float32)])
+                    lengths = np.concatenate([lengths, np.zeros(short, np.int32)])
+                    tokens = np.concatenate([tokens, np.zeros((short, t_len), np.int32)])
+                if is_las:
+                    yield ((audio, lengths), tokens[:, :-1]), tokens[:, 1:]
+                else:
+                    yield (audio, lengths), tokens
+            return
         for audio, tokens in padded_batch(
             stream, batch_size, audio_pad, token_pad, pad_to_batch=static
         ):
@@ -251,12 +337,17 @@ def main(cfg: TrainConfig):
     global_step = 0
     samples_seen = 0
 
+    profiling = False
     for epoch in range(cfg.skip_epochs, cfg.epochs):
         epoch_start = time.time()
         running = {}
         steps = 0
         train_iter = batch_iterator(train_factory, cfg.batch_size, train=True)
         for model_input, y_true in train_iter:
+            if cfg.profile_steps and epoch == cfg.skip_epochs and steps == 1 and not profiling:
+                jax.profiler.start_trace(path_join(cfg.output_path, "profile"))
+                profiling = True
+                logger.info("[+] Started jax.profiler trace")
             if multi_device:
                 model_input = shard_batch(model_input, mesh)
                 y_true = shard_batch(y_true, mesh)
@@ -264,6 +355,11 @@ def main(cfg: TrainConfig):
             state, metrics = train_step(state, model_input, y_true, step_rng)
             steps += 1
             global_step += 1
+            if profiling and steps >= 1 + cfg.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("[+] Saved profiler trace")
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
             if steps % 100 == 0:

@@ -46,12 +46,23 @@ def make_train_step(
     loss_fn: Callable,
     metric_fns=(),
     needs_teacher_forcing_rng: bool = False,
+    preprocess: Optional[Callable] = None,
 ) -> Callable:
-    """Build the jitted train step: (state, model_input, y_true, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, model_input, y_true, rng) -> (state, metrics).
+
+    ``preprocess(model_input, rng) -> model_input`` runs inside the jit —
+    used for the fused on-device audio frontend (raw PCM -> features fused
+    into the step, no gradient through it).
+    """
 
     def train_step(state: TrainState, model_input, y_true, rng):
-        rng_names = ["dropout"] + (["teacher_forcing"] if needs_teacher_forcing_rng else [])
+        rng_names = ["dropout", "frontend"] + (
+            ["teacher_forcing"] if needs_teacher_forcing_rng else []
+        )
         rngs = dict(zip(rng_names, jax.random.split(rng, len(rng_names))))
+        front_rng = rngs.pop("frontend")
+        if preprocess is not None:
+            model_input = jax.lax.stop_gradient(preprocess(model_input, front_rng))
 
         def compute_loss(params):
             variables = {"params": params}
@@ -85,10 +96,12 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, loss_fn: Callable, metric_fns=()) -> Callable:
+def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional[Callable] = None) -> Callable:
     """Build the jitted eval step: (state, model_input, y_true) -> metrics."""
 
     def eval_step(state: TrainState, model_input, y_true):
+        if preprocess is not None:
+            model_input = preprocess(model_input, None)
         logits = model.apply(state.variables, model_input, training=False)
         metrics = {"loss": loss_fn(y_true, logits)}
         for name, fn in metric_fns:

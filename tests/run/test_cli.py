@@ -159,3 +159,14 @@ def test_make_tfrecord_roundtrip(tmp_path):
     feat, tokens = pairs[0]
     assert feat.ndim == 3 and feat.shape[1] == 40 and feat.dtype == np.float32
     assert tokens.dtype == np.int32 and tokens[0] == 2  # BOS
+
+
+@pytest.mark.parametrize("model_config", [TEST_LAS_CONFIG, TEST_DS_CONFIG])
+def test_train_cli_on_device_frontend(tmp_path, model_config):
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, model_config, extra=["--on-device-frontend"])
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
