@@ -124,7 +124,7 @@ def load_audio_file(
         elif file_format == "pcm":
             audio = decode_pcm(path)
         else:
-            audio = decode_mp3(path)
+            audio, _ = decode_mp3(path)
         if resample_rate is not None:
             audio = resample(audio, sample_rate, resample_rate)
         return audio.mean(axis=1)

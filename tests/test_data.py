@@ -155,3 +155,17 @@ def test_native_library_parity():
             f_py, psr = decode_flac_bytes(fh.read())
         assert fsr == psr
         np.testing.assert_array_equal(f_native, f_py)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_AUDIO_DIR), reason="reference fixtures unavailable")
+def test_mp3_decode():
+    """mp3 decode (libmpg123 binding) must produce the right shape/rate and
+    (lossily) match the lossless decode of the same content."""
+    from speech_recognition_tpu.data.mp3 import _load_mpg123, decode_mp3_file
+
+    if _load_mpg123() is None:
+        pytest.skip("libmpg123 unavailable")
+    audio, sr = decode_mp3_file(os.path.join(REF_AUDIO_DIR, "test.mp3"))
+    wav, wsr = decode_wav(os.path.join(REF_AUDIO_DIR, "test.wav"))
+    assert sr == wsr and audio.shape == wav.shape
+    np.testing.assert_allclose(audio, wav, atol=1e-2)  # lossy codec tolerance
