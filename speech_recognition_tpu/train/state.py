@@ -66,14 +66,17 @@ def make_train_step(
 
         def compute_loss(params):
             variables = {"params": params}
-            mutable = []
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(variables, model_input, training=True, rngs=rngs, mutable=mutable)
-            logits, updates = out if mutable else (out, {})
+                logits, updates = model.apply(
+                    variables, model_input, training=True, rngs=rngs, mutable=["batch_stats"]
+                )
+                new_batch_stats = updates.get("batch_stats", state.batch_stats)
+            else:
+                logits = model.apply(variables, model_input, training=True, rngs=rngs)
+                new_batch_stats = state.batch_stats
             loss = loss_fn(y_true, logits)
-            return loss, (logits, updates.get("batch_stats", state.batch_stats))
+            return loss, (logits, new_batch_stats)
 
         (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params

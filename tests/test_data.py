@@ -169,3 +169,19 @@ def test_mp3_decode():
     wav, wsr = decode_wav(os.path.join(REF_AUDIO_DIR, "test.wav"))
     assert sr == wsr and audio.shape == wav.shape
     np.testing.assert_allclose(audio, wav, atol=1e-2)  # lossy codec tolerance
+
+
+def test_bucket_batch():
+    from speech_recognition_tpu.data.dataset import bucket_batch
+
+    rng = np.random.default_rng(0)
+    data = [
+        (np.ones((t, 4, 1), np.float32), np.ones(rng.integers(1, 5), np.int32))
+        for t in [5, 30, 7, 28, 6, 29, 100]
+    ]
+    batches = list(bucket_batch(iter(data), 2, [10, 40], token_pad_length=6))
+    shapes = sorted(b[0].shape for b in batches)
+    # three short (5,7,6) -> one full batch of 2 + remainder 1 at pad 10;
+    # three medium -> one full batch + remainder at pad 40; len-100 filtered
+    assert shapes == [(1, 10, 4, 1), (1, 40, 4, 1), (2, 10, 4, 1), (2, 40, 4, 1)]
+    assert all(b[1].shape[1] == 6 for b in batches)
