@@ -1,0 +1,99 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh.
+
+Covers SURVEY.md §4's gap: the reference had zero distributed tests; here
+data-parallel training is validated numerically — the sharded step must
+produce the same loss and updated parameters as the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from speech_recognition_tpu.models import DeepSpeech2, LAS
+from speech_recognition_tpu.parallel import get_device_mesh, shard_batch, shard_params
+from speech_recognition_tpu.train import TrainState, linear_warmup_decay, make_train_step
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def _make_ds2_setup():
+    model = DeepSpeech2(1, (4,), ((11, 5),), ((2, 2),), "gru", 1, 8, 0.0, 0.0, 32, 14)
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.uniform(rng, (8, 64, 12, 1), minval=0.1)
+    tokens = jax.random.randint(rng, (8, 6), 1, 13)
+    variables = model.init({"params": rng}, audio)
+    tx = optax.adam(linear_warmup_decay(100, 1e-3, 1e-5))
+    return model, audio, tokens, variables, tx
+
+
+def test_dp_matches_single_device(eight_devices):
+    model, audio, tokens, variables, tx = _make_ds2_setup()
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics())
+    rng = jax.random.PRNGKey(42)
+
+    def fresh(v):
+        # train steps donate their state buffers; each state needs its own copy
+        return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), dict(v))
+
+    # single device
+    state1 = TrainState.create(fresh(variables), tx)
+    state1, m1 = step(state1, audio, tokens, rng)
+
+    # 8-way data parallel
+    mesh = get_device_mesh(data_parallel=8, model_parallel=1, devices=eight_devices)
+    state8 = TrainState.create(fresh(variables), tx)
+    state8 = state8.replace(
+        params=shard_params(state8.params, mesh),
+        batch_stats=shard_params(state8.batch_stats, mesh),
+        opt_state=shard_params(state8.opt_state, mesh),
+    )
+    audio_s = shard_batch(audio, mesh)
+    tokens_s = shard_batch(tokens, mesh)
+    state8, m8 = step(state8, audio_s, tokens_s, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_las_runs(eight_devices):
+    """dp x tp mesh: vocab-dimension params sharded over 'model'."""
+    mesh = get_device_mesh(data_parallel=4, model_parallel=2, devices=eight_devices)
+    model = LAS("gru", 64, 8, 8, 1, 1, 0.0, 1.0)
+    rng = jax.random.PRNGKey(1)
+    audio = jax.random.uniform(rng, (4, 24, 10, 3), minval=0.1)
+    tokens = jax.random.randint(rng, (4, 5), 1, 64)
+    variables = model.init({"params": rng}, (audio, tokens))
+
+    tx = optax.adam(linear_warmup_decay(100, 1e-3, 1e-5))
+    state = TrainState.create(dict(variables), tx)
+    state = state.replace(
+        params=shard_params(state.params, mesh, tensor_parallel=True),
+        batch_stats=shard_params(state.batch_stats, mesh),
+        opt_state=shard_params(state.opt_state, mesh, tensor_parallel=True),
+    )
+    # the vocab projection kernel must actually be sharded over 'model'
+    ff = state.params["attend_and_speller"]["feedforward"]["kernel"]
+    assert "model" in str(ff.sharding)
+
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=True)
+    mi = shard_batch((audio, tokens[:, :-1]), mesh)
+    y = shard_batch(tokens[:, 1:], mesh)
+    state, metrics = step(state, mi, y, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_shard_batch_places_on_data_axis(eight_devices):
+    mesh = get_device_mesh(data_parallel=8, model_parallel=1, devices=eight_devices)
+    x = np.zeros((16, 4), np.float32)
+    placed = shard_batch(x, mesh)
+    assert "data" in str(placed.sharding)
