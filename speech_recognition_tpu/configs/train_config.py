@@ -74,6 +74,9 @@ class TrainConfig:
     # fuse the audio feature frontend (STFT/mel/SpecAugment/delta) into the
     # on-device training step; the host pipeline only decodes + tokenizes
     on_device_frontend: bool = False
+    # comma-separated audio-length bucket boundaries for bucketed batching
+    # (e.g. "512,1024,2048"); cuts pad waste vs the single max-length shape
+    bucket_boundaries: Optional[str] = None
 
     def __post_init__(self):
         required = [

@@ -47,6 +47,7 @@ parser.add_argument("--skip-epochs", type=int, help="skip first N epochs and sta
 parser.add_argument("--device", type=str, choices=["CPU", "GPU", "TPU"], help="device to use (TPU or GPU or CPU)")
 parser.add_argument("--profile-steps", type=int, help="capture a jax.profiler trace of N training steps into <output>/profile")
 parser.add_argument("--on-device-frontend", action="store_true", help="fuse the audio feature frontend into the on-device training step")
+parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio-length bucket boundaries for bucketed batching, e.g. 512,1024,2048")
 # fmt: on
 
 
@@ -321,9 +322,15 @@ def main(cfg: TrainConfig):
                 else:
                     yield (audio, lengths), tokens
             return
-        for audio, tokens in padded_batch(
-            stream, batch_size, audio_pad, token_pad, pad_to_batch=static
-        ):
+        if cfg.bucket_boundaries:
+            from ..data.dataset import bucket_batch
+
+            boundaries = [int(b) for b in str(cfg.bucket_boundaries).split(",")]
+            # under SPMD, partial bucket remainders can't shard -> drop them
+            batches = bucket_batch(stream, batch_size, boundaries, token_pad, drop_remainder=multi_device)
+        else:
+            batches = padded_batch(stream, batch_size, audio_pad, token_pad, pad_to_batch=static)
+        for audio, tokens in batches:
             if is_las:
                 model_input, y_true = (audio, tokens[:, :-1]), tokens[:, 1:]
             else:

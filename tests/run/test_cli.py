@@ -170,3 +170,13 @@ def test_train_cli_on_device_frontend(tmp_path, model_config):
     config = vars(parser.parse_args(args))
     main(TrainConfig(**config))
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
+def test_train_cli_bucketed(tmp_path):
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, TEST_DS_CONFIG, extra=["--bucket-boundaries", "80,150"])
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
