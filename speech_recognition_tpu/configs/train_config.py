@@ -77,6 +77,8 @@ class TrainConfig:
     # comma-separated audio-length bucket boundaries for bucketed batching
     # (e.g. "512,1024,2048"); cuts pad waste vs the single max-length shape
     bucket_boundaries: Optional[str] = None
+    # resume from the newest checkpoint in <output>/models automatically
+    auto_resume: bool = False
 
     def __post_init__(self):
         required = [

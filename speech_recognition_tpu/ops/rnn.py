@@ -141,6 +141,9 @@ class RNN(nn.Module):
     recurrent_dropout: float = 0.0
     reverse: bool = False
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the scan body in the backward pass (trade FLOPs for the
+    # per-step gate activation memory; lets bigger batches fit HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, inputs, mask, initial_state=None, training: bool = False):
@@ -208,7 +211,8 @@ class RNN(nn.Module):
             new_state = tuple(m * ns + (1.0 - m) * os for ns, os in zip(new_state, state))
             return new_state, h_new * m
 
-        final_state, outputs = jax.lax.scan(body, state0, (x_proj_t, mask_t), reverse=self.reverse)
+        body_fn = jax.checkpoint(body) if self.remat else body
+        final_state, outputs = jax.lax.scan(body_fn, state0, (x_proj_t, mask_t), reverse=self.reverse)
         return jnp.swapaxes(outputs, 0, 1), final_state
 
 
@@ -225,6 +229,7 @@ class BiRNN(nn.Module):
     dropout: float = 0.0
     recurrent_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, inputs, mask, initial_state=None, training: bool = False):
@@ -235,7 +240,13 @@ class BiRNN(nn.Module):
             fwd_init = tuple(initial_state[:n])
             bwd_init = tuple(initial_state[n : 2 * n])
         fwd_out, fwd_state = RNN(
-            self.rnn_type, self.units, self.dropout, self.recurrent_dropout, dtype=self.dtype, name="forward_rnn"
+            self.rnn_type,
+            self.units,
+            self.dropout,
+            self.recurrent_dropout,
+            dtype=self.dtype,
+            remat=self.remat,
+            name="forward_rnn",
         )(inputs, mask, fwd_init, training)
         bwd_out, bwd_state = RNN(
             self.rnn_type,
@@ -244,6 +255,7 @@ class BiRNN(nn.Module):
             self.recurrent_dropout,
             reverse=True,
             dtype=self.dtype,
+            remat=self.remat,
             name="backward_rnn",
         )(inputs, mask, bwd_init, training)
         output = jnp.concatenate([fwd_out, bwd_out], axis=-1)

@@ -7,6 +7,7 @@ train step over a ('data','model') mesh, Orbax checkpoints per epoch.
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -48,6 +49,7 @@ parser.add_argument("--device", type=str, choices=["CPU", "GPU", "TPU"], help="d
 parser.add_argument("--profile-steps", type=int, help="capture a jax.profiler trace of N training steps into <output>/profile")
 parser.add_argument("--on-device-frontend", action="store_true", help="fuse the audio feature frontend into the on-device training step")
 parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio-length bucket boundaries for bucketed batching, e.g. 512,1024,2048")
+parser.add_argument("--auto-resume", action="store_true", help="resume from the newest checkpoint in <output>/models (sets pretrained path + skip-epochs)")
 # fmt: on
 
 
@@ -198,6 +200,19 @@ def main(cfg: TrainConfig):
     init_rng = jax.random.PRNGKey(cfg.seed or 0)
     variables = build_variables(model, cfg.model_config, cfg.data_config, init_rng)
     logger.info(f"[+] Parameters: {count_params(variables):,}")
+
+    if cfg.auto_resume and not cfg.pretrained_model_path:
+        from ..train import latest_checkpoint
+
+        newest = latest_checkpoint(path_join(cfg.output_path, "models"))
+        if newest:
+            import re as _re
+
+            cfg.pretrained_model_path = newest
+            done = _re.search(r"model-(\d+)epoch", os.path.basename(newest))
+            if done and not cfg.skip_epochs:
+                cfg.skip_epochs = int(done.group(1))
+            logger.info(f"[+] Auto-resume from {newest} (skip_epochs={cfg.skip_epochs})")
 
     if cfg.pretrained_model_path:
         logger.info("[+] Load weights of model")

@@ -180,3 +180,19 @@ def test_train_cli_bucketed(tmp_path):
     config = vars(parser.parse_args(args))
     main(TrainConfig(**config))
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
+def test_train_cli_auto_resume(tmp_path):
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, TEST_DS_CONFIG)
+    main(TrainConfig(**vars(parser.parse_args(args))))
+    first_ckpts = set(os.listdir(tmp_path / "output" / "models"))
+    assert len(first_ckpts) == 2
+
+    # resume: picks up the newest checkpoint and skips completed epochs
+    args = _train_args(tmp_path, TEST_DS_CONFIG, extra=["--auto-resume", "--epochs", "3"])
+    main(TrainConfig(**vars(parser.parse_args(args))))
+    after = set(os.listdir(tmp_path / "output" / "models"))
+    assert len(after - first_ckpts) == 1  # exactly one new epoch trained
