@@ -63,6 +63,11 @@ def convert_tf_checkpoint(checkpoint_path: str) -> Dict[str, Any]:
     for key in reader.get_variable_to_shape_map():
         if key == "_CHECKPOINTABLE_OBJECT_GRAPH":
             continue
+        # bookkeeping keys written by tf.train.Checkpoint.save / Keras
+        # ModelCheckpoint (save_counter, optimizer slots) are not model
+        # weights and would break the exact-structure restore template
+        if key.startswith(("save_counter", "optimizer/", "optimizer_")):
+            continue
         collection, path = _map_name(key)
         node = out[collection]
         parts = path.split("/")

@@ -168,6 +168,7 @@ def bucket_batch(
     bucket_boundaries: Sequence[int],
     token_pad_length: Optional[int],
     drop_remainder: bool = False,
+    over_boundary: str = "drop",
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Length-bucketed padded batching.
 
@@ -178,10 +179,16 @@ def bucket_batch(
     typically 2-4x less padded waste on LibriSpeech-like length distributions.
 
     :param bucket_boundaries: ascending audio-length cutoffs; an example with
-        T <= boundary[i] lands in bucket i (longer examples are filtered)
+        T <= boundary[i] lands in bucket i
+    :param over_boundary: what to do with examples longer than the largest
+        boundary: "drop" (filter semantics; a count is logged at the end) or
+        "clamp" (slice semantics: truncate into the last bucket)
     """
+    if over_boundary not in ("drop", "clamp"):
+        raise ValueError(f"over_boundary must be 'drop' or 'clamp', got {over_boundary!r}")
     boundaries = sorted(bucket_boundaries)
     buckets: List[List[Tuple[np.ndarray, np.ndarray]]] = [[] for _ in boundaries]
+    dropped = 0
 
     def _emit(idx):
         batch = buckets[idx]
@@ -192,6 +199,11 @@ def bucket_batch(
         return audio, tokens
 
     for audio, tokens in dataset:
+        if audio.shape[0] > boundaries[-1]:
+            if over_boundary == "drop":
+                dropped += 1
+                continue
+            audio = audio[: boundaries[-1]]
         for i, boundary in enumerate(boundaries):
             if audio.shape[0] <= boundary:
                 buckets[i].append((audio, tokens))
@@ -202,6 +214,11 @@ def bucket_batch(
         for i in range(len(boundaries)):
             if buckets[i]:
                 yield _emit(i)
+    if dropped:
+        logger.warning(
+            f"bucket_batch dropped {dropped} examples longer than the largest "
+            f"bucket boundary ({boundaries[-1]}); raise the boundary or use slice policy"
+        )
 
 
 def map_stream(dataset: Iterable, fn: Callable) -> Iterator:

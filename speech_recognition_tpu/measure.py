@@ -33,8 +33,13 @@ def sparse_categorical_accuracy(y_true, logits, ignore_index: int = 0) -> Tuple[
 
 
 def ctc_loss(y_true, logits, blank_index: int, pad_index: int = 0):
-    """CTC loss normalized by label length, averaged over the batch
+    """CTC loss normalized by label length, averaged over valid rows
     (reference measure.py:24-42: full padded time as logit length).
+
+    Rows with an empty label (all pad) are batch padding — short final
+    batches are padded up to the static batch size with zero rows — and
+    contribute neither loss nor gradient; the mean is taken over real rows
+    only, matching the reference where padded rows never exist.
 
     :param y_true: [B, N] int labels, pad_index-padded
     :param logits: [B, T, V] float logits
@@ -44,4 +49,6 @@ def ctc_loss(y_true, logits, blank_index: int, pad_index: int = 0):
     logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
     per_seq = optax.ctc_loss(logits, logit_paddings, y_true, label_paddings, blank_id=blank_index)
     label_lengths = jnp.sum(1.0 - label_paddings, axis=-1)
-    return jnp.mean(per_seq / jnp.maximum(label_lengths, 1.0))
+    valid_row = (label_lengths > 0).astype(jnp.float32)
+    per_seq = per_seq / jnp.maximum(label_lengths, 1.0) * valid_row
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid_row), 1.0)

@@ -19,7 +19,7 @@ import flax.linen as nn
 
 from ..measure import ctc_loss
 from ..ops.rnn import BiRNN
-from .las import audio_frame_mask, conv_output_length
+from .las import audio_frame_lengths, conv_output_length, split_audio_lengths
 from .model_proto import ModelProto
 
 
@@ -33,11 +33,11 @@ class Convolution(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, audio_input: jnp.ndarray, training: bool = False):
+    def __call__(self, audio_input: jnp.ndarray, training: bool = False, lengths=None):
         """[B, T, F, C] -> ([B, T', F'*ch], mask [B, T'])."""
         assert self.num_layers == len(self.channels) == len(self.kernel_sizes) == len(self.strides)
-        frame_mask = audio_frame_mask(audio_input)
-        lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+        if lengths is None:
+            lengths = audio_frame_lengths(audio_input)
 
         x = audio_input.astype(self.dtype)
         for i, (ch, kernel, stride) in enumerate(zip(self.channels, self.kernel_sizes, self.strides)):
@@ -118,8 +118,9 @@ class DeepSpeech2(ModelProto):
         self.fully_connected = nn.Dense(self.vocab_size, dtype=self.dtype, name="fully_connected")
 
     def __call__(self, audio_input: jnp.ndarray, training: bool = False):
-        """[B, T, F, C] -> logits [B, T', V]."""
-        audio, mask = self.convolution(audio_input, training)
+        """[B, T, F, C] (or (features, frame_lengths)) -> logits [B, T', V]."""
+        audio_input, frame_lengths = split_audio_lengths(audio_input)
+        audio, mask = self.convolution(audio_input, training, frame_lengths)
         audio = self.recurrent(audio, mask, training) * mask[:, :, None].astype(self.dtype)
         return self.fully_connected(audio)
 

@@ -48,6 +48,28 @@ def audio_frame_mask(audio: jnp.ndarray) -> jnp.ndarray:
     return jnp.any(audio.reshape(audio.shape[0], audio.shape[1], -1) != 0.0, axis=2)
 
 
+def audio_frame_lengths(audio: jnp.ndarray) -> jnp.ndarray:
+    """[B] valid frame count = index of the last non-zero frame + 1.
+
+    Counting non-zero frames (the reference's pad detection,
+    las.py:205-217) undercounts when SpecAugment time masks zero whole
+    interior frames; taking the last non-zero position instead is exact as
+    long as the final real frame is non-zero (log-mel of silence is
+    log(1e-12) != 0, so this holds in practice).  Callers that know the true
+    lengths (the fused on-device frontend) pass them explicitly instead.
+    """
+    nonzero = audio_frame_mask(audio)
+    positions = jnp.arange(1, audio.shape[1] + 1, dtype=jnp.int32)[None, :]
+    return jnp.max(jnp.where(nonzero, positions, 0), axis=1)
+
+
+def split_audio_lengths(audio_input):
+    """Accept [B,T,F,C] features or a (features, frame_lengths) pair."""
+    if isinstance(audio_input, (tuple, list)):
+        return audio_input[0], audio_input[1]
+    return audio_input, None
+
+
 class Attention(nn.Module):
     """Dot-product attention with projected query/key (reference las.py:20-59)."""
 
@@ -91,10 +113,14 @@ class Listener(nn.Module):
     STRIDE = 2
 
     @nn.compact
-    def __call__(self, audio: jnp.ndarray, training: bool = False):
-        """audio [B, T, F, C] -> [encoded [B, T', H], mask [B, T'], *states]."""
-        frame_mask = audio_frame_mask(audio)
-        lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+    def __call__(self, audio: jnp.ndarray, training: bool = False, lengths: Optional[jnp.ndarray] = None):
+        """audio [B, T, F, C] -> [encoded [B, T', H], mask [B, T'], *states].
+
+        ``lengths`` [B] overrides zero-frame detection when the caller knows
+        the true valid frame counts (e.g. the fused on-device frontend).
+        """
+        if lengths is None:
+            lengths = audio_frame_lengths(audio)
 
         audio = audio.astype(self.dtype)
         deterministic = not training
@@ -278,8 +304,13 @@ class LAS(ModelProto):
 
     # --------------------------------------------------------------- methods
     def encode(self, audio, training: bool = False):
-        """Listener forward; returns [encoded, mask, *states] (for search)."""
-        return self.listener(audio, training)
+        """Listener forward; returns [encoded, mask, *states] (for search).
+
+        ``audio`` is [B,T,F,C] features, or a (features, frame_lengths)
+        pair when the caller knows the true lengths.
+        """
+        audio, lengths = split_audio_lengths(audio)
+        return self.listener(audio, training, lengths)
 
     def project_keys(self, audio_output):
         return self.attend_and_speller.project_keys(audio_output)
@@ -290,11 +321,12 @@ class LAS(ModelProto):
         )
 
     def __call__(self, inputs: Tuple, training: bool = False):
-        """(audio [B,T,F,C], decoder_input [B,N]) -> logits [B,N,V]."""
+        """(audio [B,T,F,C] | (audio, frame_lengths), decoder_input [B,N]) -> logits [B,N,V]."""
         audio_input, decoder_input = inputs
+        audio_input, frame_lengths = split_audio_lengths(audio_input)
         B, N = decoder_input.shape
 
-        audio_output, attention_mask, *states = self.listener(audio_input, training)
+        audio_output, attention_mask, *states = self.listener(audio_input, training, frame_lengths)
         states = tuple(states)
         projected_keys = self.attend_and_speller.project_keys(audio_output)
 

@@ -27,9 +27,12 @@ from .spec_augment import make_spec_augment
 
 
 def make_batch_frontend(config: DataConfig, spec_augment: bool = False):
-    """Build fn(audio [B, S], sample_lengths [B], key?) -> [B, T, F, C].
+    """Build fn(audio [B, S], sample_lengths [B], key?) -> ([B, T, F, C], frame_lengths [B]).
 
-    T = (max_samples - frame_length) // frame_step + 1 (static).
+    T = (max_samples - frame_length) // frame_step + 1 (static).  The true
+    per-utterance frame counts are returned so models mask from them instead
+    of re-deriving lengths by zero detection (SpecAugment time masks zero
+    whole interior frames, which breaks zero detection).
     """
     feature_fn = config.make_audio_feature_fn("jax")
     sa_fn = None
@@ -58,9 +61,9 @@ def make_batch_frontend(config: DataConfig, spec_augment: bool = False):
             feats = jax.vmap(F.delta_accelerate)(feats)
             # delta at the first pad frame leaks a nonzero value; re-zero pads
             feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
-        return feats
+        return feats, valid
 
-    return jax.jit(frontend) if sa_fn is None else jax.jit(frontend)
+    return jax.jit(frontend)
 
 
 def pad_audio_batch(audios, max_samples: int):

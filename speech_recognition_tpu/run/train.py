@@ -266,6 +266,8 @@ def main(cfg: TrainConfig):
         eval_frontend = make_batch_frontend(cfg.data_config, spec_augment=False)
 
         def _make_preprocess(front):
+            # the frontend returns (features, frame_lengths); thread the true
+            # lengths into the model so masks survive SpecAugment time masks
             def _pre(model_input, rng):
                 if is_las:
                     (audio, lengths), dec_in = model_input
@@ -299,14 +301,16 @@ def main(cfg: TrainConfig):
 
     skip_examples = {"count": (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size}
 
-    def batch_iterator(factory, batch_size, train: bool):
+    def batch_iterator(factory, batch_size, train: bool, epoch: int = 0):
         stream = factory()
         if train and skip_examples["count"]:
             # deterministic resume: skip already-consumed examples once
             stream = skip_stream(stream, skip_examples.pop("count", 0) or 0)
             skip_examples["count"] = 0
         if train and cfg.shuffle_buffer_size > 1:
-            stream = shuffle_stream(stream, cfg.shuffle_buffer_size, seed=cfg.seed)
+            # reshuffle each epoch (tf.data reshuffle_each_iteration semantics)
+            seed = None if cfg.seed is None else cfg.seed + epoch
+            stream = shuffle_stream(stream, cfg.shuffle_buffer_size, seed=seed)
         if raw_mode:
             # keep per-example sample counts alongside the padded raw audio
             stream = ((a, np.array([len(a)], np.int32), t) for a, t in stream)
@@ -342,7 +346,14 @@ def main(cfg: TrainConfig):
 
             boundaries = [int(b) for b in str(cfg.bucket_boundaries).split(",")]
             # under SPMD, partial bucket remainders can't shard -> drop them
-            batches = bucket_batch(stream, batch_size, boundaries, token_pad, drop_remainder=multi_device)
+            batches = bucket_batch(
+                stream,
+                batch_size,
+                boundaries,
+                token_pad,
+                drop_remainder=multi_device,
+                over_boundary="clamp" if cfg.max_over_policy == "slice" else "drop",
+            )
         else:
             batches = padded_batch(stream, batch_size, audio_pad, token_pad, pad_to_batch=static)
         for audio, tokens in batches:
@@ -359,12 +370,26 @@ def main(cfg: TrainConfig):
     global_step = 0
     samples_seen = 0
 
+    # with steps_per_epoch, epochs advance continuously through one repeated
+    # stream (reference dataset.repeat() semantics, run/train.py:181-185);
+    # rebuilding per epoch would retrain on the same first chunk forever
+    persistent_train_iter = None
+    if cfg.steps_per_epoch:
+        from ..data.dataset import repeat_stream
+
+        persistent_train_iter = batch_iterator(
+            lambda: repeat_stream(train_factory), cfg.batch_size, train=True
+        )
+
     profiling = False
     for epoch in range(cfg.skip_epochs, cfg.epochs):
         epoch_start = time.time()
         running = {}
         steps = 0
-        train_iter = batch_iterator(train_factory, cfg.batch_size, train=True)
+        if persistent_train_iter is not None:
+            train_iter = persistent_train_iter
+        else:
+            train_iter = batch_iterator(train_factory, cfg.batch_size, train=True, epoch=epoch)
         for model_input, y_true in train_iter:
             if cfg.profile_steps and epoch == cfg.skip_epochs and steps == 1 and not profiling:
                 jax.profiler.start_trace(path_join(cfg.output_path, "profile"))

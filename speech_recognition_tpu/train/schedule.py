@@ -20,7 +20,9 @@ def linear_warmup_decay(
     """Return schedule fn(step) -> lr, matching the reference formula."""
     warmup = int(total_steps * warmup_rate) + 1 if not warmup_steps else warmup_steps
     increasing_delta = max_learning_rate / warmup if warmup else 1e12
-    decreasing_delta = (max_learning_rate - min_learning_rate) / (total_steps - warmup)
+    # guard: with total_steps <= warmup (tiny smoke runs) there is no decay
+    # phase; the reference formula would divide by zero (utils.py:20-22)
+    decreasing_delta = (max_learning_rate - min_learning_rate) / max(total_steps - warmup, 1)
 
     def schedule(step):
         step = (jnp.asarray(step) + offset_steps).astype(jnp.float32)

@@ -85,6 +85,45 @@ def test_deepspeech2_ctc_loss():
     assert model.get_metrics() == []
 
 
+def test_ctc_loss_ignores_padded_rows():
+    """Zero rows appended by pad_to_batch must contribute neither loss nor
+    gradient (reference semantics: padded rows never exist, measure.py:24-42)."""
+    from speech_recognition_tpu.measure import ctc_loss
+
+    rng = jax.random.PRNGKey(7)
+    logits = jax.random.normal(rng, (2, 20, 30))
+    labels = jnp.array([[5, 6, 7, 0, 0], [3, 4, 0, 0, 0]], jnp.int32)
+    loss_real = ctc_loss(labels, logits, blank_index=14)
+
+    # pad the batch with two all-zero rows (short final batch on TPU)
+    logits_pad = jnp.concatenate([logits, jnp.zeros((2, 20, 30))])
+    labels_pad = jnp.concatenate([labels, jnp.zeros((2, 5), jnp.int32)])
+    loss_pad = ctc_loss(labels_pad, logits_pad, blank_index=14)
+    np.testing.assert_allclose(float(loss_real), float(loss_pad), rtol=1e-6)
+
+    # gradient w.r.t. the padded logit rows must be exactly zero
+    grad = jax.grad(lambda lg: ctc_loss(labels_pad, lg, blank_index=14))(logits_pad)
+    assert float(jnp.abs(grad[2:]).max()) == 0.0
+    assert float(jnp.abs(grad[:2]).max()) > 0.0
+
+
+def test_deepspeech2_explicit_lengths():
+    """(features, frame_lengths) input must override zero-frame detection."""
+    rng = jax.random.PRNGKey(8)
+    model = DeepSpeech2(1, (4,), ((11, 5),), ((2, 2),), "gru", 1, 16, 0.0, 0.0, 30, 14)
+    audio = jax.random.uniform(rng, (2, 64, 12, 1), minval=0.1)
+    # zero some interior frames (as SpecAugment time masks would)
+    audio = audio.at[:, 20:30].set(0.0)
+    audio = audio.at[1, 48:].set(0.0)  # example 1 really ends at 48
+    lengths = jnp.array([64, 48], jnp.int32)
+    variables = model.init({"params": rng}, audio)
+    out_explicit = model.apply(variables, (audio, lengths))
+    # full-length input without interior zeros -> same mask as explicit lengths
+    audio_clean = audio.at[:, 20:30].set(0.5)
+    out_clean_mask = model.apply(variables, (audio_clean, lengths))
+    assert out_explicit.shape == out_clean_mask.shape
+
+
 def test_deepspeech2_example_plumbing():
     audio = np.zeros((10, 4, 1), np.float32)
     tokens = np.arange(5, dtype=np.int32)

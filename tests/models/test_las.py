@@ -27,6 +27,38 @@ def test_attention_shapes(hidden_dim, seq_len, batch):
     np.testing.assert_allclose(out, out2, rtol=1e-6)
 
 
+def test_audio_frame_lengths_robust_to_interior_zeros():
+    """Lengths come from the last non-zero frame, so SpecAugment-style
+    interior time masks must not truncate the tail (ADVICE: zero-count
+    undercounts after augmentation)."""
+    from speech_recognition_tpu.models.las import audio_frame_lengths
+
+    audio = jnp.ones((2, 32, 8, 1))
+    audio = audio.at[0, 10:20].set(0.0)  # interior time mask
+    audio = audio.at[1, 24:].set(0.0)  # real padding at the tail
+    lengths = audio_frame_lengths(audio)
+    assert int(lengths[0]) == 32
+    assert int(lengths[1]) == 24
+    # all-pad row (batch padding) -> length 0
+    audio = audio.at[1].set(0.0)
+    assert int(audio_frame_lengths(audio)[1]) == 0
+
+
+def test_las_explicit_lengths_match_derived():
+    """((audio, lengths), dec) input must equal the zero-derived path when
+    the derived lengths are correct."""
+    rng = jax.random.PRNGKey(11)
+    model = LAS("gru", 40, 8, 8, 1, 1, 0.0, 1.0)
+    audio = jax.random.uniform(rng, (2, 40, 10, 1), minval=0.1)
+    audio = audio.at[1, 30:].set(0.0)
+    tokens = jnp.array([[1, 5, 6, 2], [1, 7, 2, 0]], jnp.int32)
+    variables = model.init({"params": rng}, (audio, tokens))
+    out_derived = model.apply(variables, (audio, tokens))
+    lengths = jnp.array([40, 30], jnp.int32)
+    out_explicit = model.apply(variables, ((audio, lengths), tokens))
+    np.testing.assert_allclose(np.asarray(out_derived), np.asarray(out_explicit), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize(
     "rnn_type,units,batch,seq_len,feat,pad_len",
     [("rnn", 13, 5, 11, 8, 3), ("lstm", 33, 4, 21, 2, 4), ("gru", 24, 5, 3, 9, 5)],

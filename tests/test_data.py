@@ -185,3 +185,10 @@ def test_bucket_batch():
     # three medium -> one full batch + remainder at pad 40; len-100 filtered
     assert shapes == [(1, 10, 4, 1), (1, 40, 4, 1), (2, 10, 4, 1), (2, 40, 4, 1)]
     assert all(b[1].shape[1] == 6 for b in batches)
+
+    # clamp (slice-policy semantics): the len-100 example is truncated into
+    # the last bucket instead of silently dropped
+    batches = list(bucket_batch(iter(data), 2, [10, 40], token_pad_length=6, over_boundary="clamp"))
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == len(data)
+    assert max(b[0].shape[1] for b in batches) == 40

@@ -23,7 +23,8 @@ def test_batch_frontend_matches_host_path(config):
 
     batch, lengths = pad_audio_batch(audios, max_samples)
     frontend = make_batch_frontend(config)
-    feats = np.asarray(frontend(batch, lengths))
+    feats, frame_lengths = frontend(batch, lengths)
+    feats = np.asarray(feats)
 
     host_fn = config.make_audio_feature_fn("numpy")
     T = feats.shape[1]
@@ -31,6 +32,7 @@ def test_batch_frontend_matches_host_path(config):
         host = host_fn(audio)
         host = delta_accelerate(host)
         n = host.shape[0]
+        assert int(frame_lengths[i]) == n
         np.testing.assert_allclose(feats[i, :n], host, rtol=2e-3, atol=2e-3)
         # padding region must be exactly zero (models detect pads by zeros)
         assert (feats[i, n:] == 0.0).all()
@@ -40,6 +42,9 @@ def test_batch_frontend_shapes(config):
     frontend = make_batch_frontend(config)
     batch = np.zeros((2, 16000), np.float32)
     lengths = np.array([16000, 8000], np.int32)
-    feats = np.asarray(frontend(batch, lengths))
+    feats, frame_lengths = frontend(batch, lengths)
+    feats = np.asarray(feats)
     expected_T = (16000 - config.frame_length) // config.frame_step + 1
     assert feats.shape == (2, expected_T, config.frequency_dim, config.feature_dim)
+    assert int(frame_lengths[0]) == expected_T
+    assert int(frame_lengths[1]) == (8000 - config.frame_length) // config.frame_step + 1
