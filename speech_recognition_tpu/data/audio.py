@@ -26,9 +26,17 @@ import numpy as np
 def decode_wav(path: str) -> np.ndarray:
     """Parse a RIFF/WAVE file -> float32 [num_samples, num_channels].
 
-    Supports PCM 8/16/24/32-bit and IEEE float formats.  int16 is scaled by
-    1/32768 to match the reference (data.py:99).
+    The common case (PCM16) goes through the native C++ decoder when the
+    extension is built; the numpy parser below handles every other layout
+    (PCM 8/16/24/32-bit and IEEE float).  int16 is scaled by 1/32768 to
+    match the reference (data.py:99).
     """
+    try:
+        from .native import wav_decode_native
+
+        return wav_decode_native(path)
+    except (ImportError, ValueError):
+        pass  # extension unavailable or non-PCM16 layout: numpy path below
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -109,6 +117,29 @@ def resample(audio: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
     return resample_poly(audio, rate_out // g, rate_in // g, axis=0).astype(np.float32)
 
 
+def sniff_container(path: str, default: str) -> str:
+    """Identify the audio container from magic bytes, falling back to
+    ``default``.
+
+    The reference decodes wav and flac through the same tfio call
+    (data.py:97-99), which sniffs the container itself — so e.g. a config
+    with ``file_format: flac`` transparently loads .wav files (the
+    reference's own evaluate tests rely on this).  Match that behavior.
+    """
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        return default
+    if magic[:4] == b"RIFF":
+        return "wav"
+    if magic[:4] == b"fLaC":
+        return "flac"
+    if magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0):
+        return "mp3"
+    return default
+
+
 def load_audio_file(
     sample_rate: int, file_format: str, resample_rate: Optional[int] = None
 ) -> Callable[[str], np.ndarray]:
@@ -116,15 +147,28 @@ def load_audio_file(
     if file_format not in ("wav", "flac", "pcm", "mp3"):
         raise ValueError(f"File Format: {file_format} is not valid!")
 
+    warned = set()
+
     def _load(path: str) -> np.ndarray:
-        if file_format == "wav":
-            audio, _ = decode_wav(path)
-        elif file_format == "flac":
-            audio, _ = decode_flac(path)
-        elif file_format == "pcm":
-            audio = decode_pcm(path)
+        fmt = file_format if file_format == "pcm" else sniff_container(path, file_format)
+        if fmt == "wav":
+            audio, header_rate = decode_wav(path)
+        elif fmt == "flac":
+            audio, header_rate = decode_flac(path)
+        elif fmt == "pcm":
+            audio, header_rate = decode_pcm(path), None
         else:
-            audio, _ = decode_mp3(path)
+            audio, header_rate = decode_mp3(path)
+        if header_rate is not None and header_rate != sample_rate and "rate" not in warned:
+            # reference quirk kept: resampling uses the config rate as the
+            # source rate (data.py:112-113) — but now the header rate is
+            # known, so at least surface the mismatch once
+            warned.add("rate")
+            from ..utils import get_logger
+
+            get_logger(__name__).warning(
+                f"{path}: file sample rate {header_rate} != configured {sample_rate}"
+            )
         if resample_rate is not None:
             audio = resample(audio, sample_rate, resample_rate)
         return audio.mean(axis=1)

@@ -19,7 +19,7 @@ import flax.linen as nn
 
 from ..measure import ctc_loss
 from ..ops.rnn import BiRNN
-from .las import audio_frame_lengths, conv_output_length, split_audio_lengths
+from .las import audio_frame_lengths, split_audio_lengths
 from .model_proto import ModelProto
 
 
@@ -44,10 +44,20 @@ class Convolution(nn.Module):
             x = nn.Conv(
                 ch, kernel_size=tuple(kernel), strides=tuple(stride), padding="VALID", dtype=self.dtype, name=f"conv{i}"
             )(x)
-            lengths = conv_output_length(lengths, kernel[0], stride[0])
 
         B, T2 = x.shape[0], x.shape[1]
         output = x.reshape(B, T2, x.shape[2] * x.shape[3])
+        # intended reference mask semantics (deepspeech2.py:68-78): collapse
+        # the frame mask by the time-stride product — an output frame is valid
+        # if ANY input frame in its group is, i.e. ceil(L / prod) clamped to
+        # T2.  (The reference's stride_complex expression is buggy and yields
+        # an all-False mask — constant logits — so the fixed collapse, which
+        # matches the LAS listener's semantics, is the parity target; see
+        # tests/test_model_parity.py.)
+        reduction = 1
+        for stride in self.strides:
+            reduction *= stride[0]
+        lengths = jnp.minimum((lengths + reduction - 1) // reduction, T2)
         mask = jnp.arange(T2)[None, :] < lengths[:, None]
         return output, mask
 

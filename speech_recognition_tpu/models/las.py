@@ -136,9 +136,16 @@ class Listener(nn.Module):
         B, T2 = audio.shape[0], audio.shape[1]
         audio = audio.reshape(B, T2, audio.shape[2] * audio.shape[3])
 
-        # mask through conv length arithmetic (twice stride-2 VALID)
-        lengths = conv_output_length(lengths, self.KERNEL_SIZE, self.STRIDE)
-        lengths = conv_output_length(lengths, self.KERNEL_SIZE, self.STRIDE)
+        # reference mask semantics (las.py:205-217): collapse the frame mask
+        # by groups of stride**2 — an output frame is valid if ANY input frame
+        # in its group is valid, i.e. ceil(L / 4) clamped to T2.  This keeps
+        # conv frames partially computed from padding, exactly as the
+        # published checkpoints were trained; exact conv arithmetic
+        # ((L-3)//2+1 twice) would drop one frame and break logits parity on
+        # padded batches (verified against the TF model in
+        # tests/test_model_parity.py).
+        reduction = self.STRIDE**2
+        lengths = jnp.minimum((lengths + reduction - 1) // reduction, T2)
         mask = jnp.arange(T2)[None, :] < lengths[:, None]
 
         states = None

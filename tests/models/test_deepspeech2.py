@@ -31,8 +31,10 @@ def test_convolution_mask_tracks_lengths():
     audio = audio.at[1, 16:].set(0.0)
     variables = conv.init(rng, audio)
     _, mask = conv.apply(variables, audio)
-    assert int(mask[0].sum()) == (32 - 5) // 2 + 1
-    assert int(mask[1].sum()) == (16 - 5) // 2 + 1
+    # reference-intended collapse: min(ceil(L / time_stride_prod), T_out)
+    t_out = (32 - 5) // 2 + 1
+    assert int(mask[0].sum()) == t_out
+    assert int(mask[1].sum()) == min((16 + 1) // 2, t_out)
 
 
 @pytest.mark.parametrize("rnn_type", ["rnn", "lstm", "gru"])

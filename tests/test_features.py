@@ -35,19 +35,34 @@ def test_stft_matches_tf(audio, frame_length, frame_step, fft_length):
 
 @pytest.mark.parametrize(
     "num_mel_bins,num_spectrogram_bins,sample_rate,lower,upper",
-    [(80, 161, 16000, 80.0, 7600.0), (123, 129, 16000, 12.0, 88.0), (40, 257, 22050, 20.0, 11025.0)],
+    [
+        (80, 161, 16000, 80.0, 7600.0),
+        (40, 161, 22050, 80.0, 7600.0),
+        (123, 129, 16000, 12.0, 88.0),
+        (40, 257, 22050, 20.0, 11025.0),
+        (128, 513, 16000, 125.0, 7600.0),
+    ],
 )
 def test_mel_matrix_matches_tf(num_mel_bins, num_spectrogram_bins, sample_rate, lower, upper):
+    """Measured bit-level parity with tf.signal.linear_to_mel_weight_matrix.
+
+    The construction (ops/features.py:40-82) replicates TF's float32 op
+    order, so >=99% of entries are bitwise identical.  Full bitwise equality
+    is unattainable from numpy: TF's Eigen float32 log differs from numpy's
+    by 1 ulp on some inputs, and the triangle-slope division amplifies that
+    at band edges — measured residual <= 2.5e-5 absolute across all shipped
+    configs (exact numbers in PARITY.md).
+    """
     ours = features.linear_to_mel_weight_matrix(
         num_mel_bins, num_spectrogram_bins, sample_rate, lower, upper
     )
     theirs = tf.signal.linear_to_mel_weight_matrix(
         num_mel_bins, num_spectrogram_bins, sample_rate, lower, upper
     ).numpy()
-    # parity to <=1 ulp of the underlying float32 log: bitwise equality is not
-    # defined across math libraries (TF's vectorized log vs libm both differ
-    # from each other by 1 ulp on some inputs)
-    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=4e-5)
+    assert ours.shape == theirs.shape and ours.dtype == theirs.dtype
+    bitwise_equal = (ours == theirs) | (np.isnan(ours) & np.isnan(theirs))
+    assert bitwise_equal.mean() >= 0.99, f"only {bitwise_equal.mean():.4%} bitwise equal"
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=3e-5)
 
 
 def test_spectrogram_shape_and_value(audio):
