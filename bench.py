@@ -1,22 +1,55 @@
 """Benchmark harness: LAS-small training throughput on the available device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Metric: utterances/sec/chip on a LibriSpeech-shaped synthetic batch
-(bf16 mixed precision, static max shapes: 1024 audio frames x 80 mel x 3,
-127 decoder positions — the reference's TPU static-shape discipline).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Primary metric: training utterances/sec/chip on a LibriSpeech-shaped
+synthetic batch (bf16 mixed precision, static max shapes: 1024 audio frames
+x 80 mel x 3, 127 decoder positions — the reference's TPU static-shape
+discipline, resources/configs/libri_config.yml + train_config_sample.yml).
+Extras: per-step ms, model FLOPs/step from XLA cost analysis, MFU against
+the chip's peak bf16 FLOPs, and greedy-decode RTF (BASELINE.md metric).
 
 Timing methodology: on this environment block_until_ready can be a no-op
 (remote PJRT tunnel), so completion is forced by fetching the final step's
 scalar loss, and the per-step time is the difference between an N-step chain
 and a 1-step chain (cancels the constant fetch latency).  The reference
 publishes no throughput numbers (BASELINE.md); vs_baseline is the ratio
-against BENCH_r1.json when present.
+against the round-1 driver record (BENCH_r01.json) when present.
 """
 
+import glob as _glob
 import json
 import os
 import sys
 import time
+
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in sorted(_PEAK_BF16.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _flops_per_step(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -26,6 +59,7 @@ def main():
     import optax
 
     from speech_recognition_tpu.models import LAS
+    from speech_recognition_tpu.search import LASSearcher
     from speech_recognition_tpu.train import TrainState, linear_warmup_decay, make_train_step
 
     platform = jax.default_backend()
@@ -44,7 +78,7 @@ def main():
         dtype=dtype,
     )
 
-    B = 64 if on_tpu else 2
+    B = int(os.environ.get("BENCH_BATCH", 128 if on_tpu else 2))
     T = 1024 if on_tpu else 64
     N = 128 if on_tpu else 8
 
@@ -66,6 +100,18 @@ def main():
     model_input = (audio, tokens[:, :-1])
     y_true = tokens[:, 1:]
 
+    # FLOPs for MFU from XLA cost analysis.  Caveats (verified empirically):
+    # lax.cond branches are counted once (not summed), but scan bodies are
+    # also counted once per unrolled body — so this UNDER-counts the
+    # recurrent in-scan matmuls and the reported MFU is a lower bound (an
+    # analytic count puts LAS-small ~25% higher).
+    flops = None
+    try:
+        compiled = train_step.lower(state, model_input, y_true, rng).compile()
+        flops = _flops_per_step(compiled)
+    except Exception:
+        pass
+
     def run_chain(state, n, seed):
         for i in range(n):
             state, metrics = train_step(state, model_input, y_true, jax.random.fold_in(rng, seed + i))
@@ -86,14 +132,40 @@ def main():
     per_step = max((t_long - t_short) / (n_long - 1), 1e-9)
     utt_per_sec = B / per_step
 
+    mfu = None
+    peak = _peak_flops(jax.devices()[0])
+    if flops and peak:
+        mfu = round(flops / per_step / peak, 4)
+
+    # ---------------------------------------------------------- greedy RTF
+    # RTF = decode wall time / audio duration.  T frames at frame_step=160 /
+    # 16 kHz (libri config) = 10.23 s audio per utterance.
+    rtf = None
+    try:
+        searcher = LASSearcher(model, state.variables, max_token_length=N, bos_id=1, eos_id=2)
+        decode = lambda: np.asarray(searcher.greedy_search(audio)[0])
+        decode()  # compile + warmup
+        t0 = time.perf_counter()
+        decode()
+        t_decode = time.perf_counter() - t0
+        audio_seconds = B * ((T - 1) * 160 + 320) / 16000.0
+        rtf = round(t_decode / audio_seconds, 6)
+    except Exception:
+        pass
+
     vs_baseline = None
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r1.json")
-    if os.path.exists(ref_path):
-        try:
-            with open(ref_path) as f:
-                vs_baseline = round(utt_per_sec / float(json.load(f)["value"]), 3)
-        except Exception:
-            vs_baseline = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_r01.json", "BENCH_r1.json"):
+        ref_path = os.path.join(here, name)
+        if os.path.exists(ref_path):
+            try:
+                with open(ref_path) as f:
+                    rec = json.load(f)
+                base = rec.get("value") or rec.get("parsed", {}).get("value")
+                vs_baseline = round(utt_per_sec / float(base), 3)
+            except Exception:
+                vs_baseline = None
+            break
 
     print(
         json.dumps(
@@ -102,6 +174,11 @@ def main():
                 "value": round(utt_per_sec, 3),
                 "unit": "utt/s/chip",
                 "vs_baseline": vs_baseline,
+                "batch": B,
+                "step_ms": round(per_step * 1e3, 3),
+                "flops_per_step": flops,
+                "mfu": mfu,
+                "rtf_greedy": rtf,
             }
         )
     )

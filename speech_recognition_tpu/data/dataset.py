@@ -162,6 +162,46 @@ def padded_batch(
         yield _emit(batch)
 
 
+def quantized_padded_batch(
+    dataset: Iterable,
+    batch_size: int,
+    time_quantum: int = 128,
+    audio_pad_length: Optional[int] = None,
+    token_pad_length: Optional[int] = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    """Padded batches with a BOUNDED set of shapes for jitted decode loops.
+
+    Dynamic per-batch padding (reference run/evaluate.py:81-85 off-TPU)
+    triggers a fresh XLA compile for every distinct (B, T): pathological for
+    a real dev-set run.  Here the audio axis is padded up to the next
+    multiple of ``time_quantum`` (or to ``audio_pad_length`` when given) and
+    the batch axis is always padded to ``batch_size`` with zero rows, so at
+    most ceil(max_T / quantum) shapes are ever compiled.  Yields
+    (audio, tokens, n_valid) — callers slice decode outputs to n_valid.
+    """
+    batch: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    def _emit(batch):
+        n_valid = len(batch)
+        max_t = max(a.shape[0] for a, _ in batch)
+        a_len = audio_pad_length or ((max_t + time_quantum - 1) // time_quantum) * time_quantum
+        t_len = token_pad_length or max(t.shape[0] for _, t in batch)
+        audio = np.stack([_pad_to(np.asarray(a, np.float32), a_len) for a, _ in batch])
+        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
+        if n_valid < batch_size:
+            audio = np.concatenate([audio, np.zeros((batch_size - n_valid,) + audio.shape[1:], audio.dtype)])
+            tokens = np.concatenate([tokens, np.zeros((batch_size - n_valid,) + tokens.shape[1:], tokens.dtype)])
+        return audio, tokens, n_valid
+
+    for item in dataset:
+        batch.append(item)
+        if len(batch) == batch_size:
+            yield _emit(batch)
+            batch = []
+    if batch:
+        yield _emit(batch)
+
+
 def bucket_batch(
     dataset: Iterable,
     batch_size: int,

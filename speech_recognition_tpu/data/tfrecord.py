@@ -224,13 +224,20 @@ def read_records(path: str, compression: str = "GZIP") -> Iterator[bytes]:
     else:
         stream = opener(path, "rb")
     with stream:
+        record_index = 0
         while True:
             header = stream.read(12)
             if len(header) < 12:
                 return
             (length,) = struct.unpack("<Q", header[:8])
+            (header_crc,) = struct.unpack("<I", header[8:12])
+            if header_crc != _masked_crc(header[:8]):
+                raise ValueError(f"{path}: corrupt record header (record {record_index})")
             data = stream.read(length)
-            stream.read(4)  # data crc (validated optionally)
+            (data_crc,) = struct.unpack("<I", stream.read(4))
+            if data_crc != _masked_crc(data):
+                raise ValueError(f"{path}: corrupt record data (record {record_index})")
+            record_index += 1
             yield data
 
 

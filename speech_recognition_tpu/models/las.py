@@ -63,6 +63,16 @@ def audio_frame_lengths(audio: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.where(nonzero, positions, 0), axis=1)
 
 
+def _decoder_unroll() -> int:
+    """Unroll factor for the decoder scans.  Measured on v5e (LAS-small
+    B=128 bench step time): 1 -> 63.7ms, 2 -> 62.6, 4 -> 58.3, 8 -> 56.0;
+    the step body is several small dependent matmuls, so unrolling shrinks
+    per-iteration loop overhead (unlike the encoder scan, where it hurts)."""
+    import os
+
+    return int(os.environ.get("SRT_DEC_UNROLL", 8)) if jax.default_backend() == "tpu" else 1
+
+
 def split_audio_lengths(audio_input):
     """Accept [B,T,F,C] features or a (features, frame_lengths) pair."""
     if isinstance(audio_input, (tuple, list)):
@@ -217,7 +227,7 @@ class AttendAndSpeller(nn.Module):
         masks["cells"] = cell_masks
         return masks
 
-    def step(
+    def step_hidden(
         self,
         audio_output,
         projected_keys,
@@ -226,7 +236,12 @@ class AttendAndSpeller(nn.Module):
         states: Tuple,
         dropout_masks=None,
     ):
-        """One decode step.
+        """One decode step up to (but not including) the vocab projection.
+
+        Returning the pre-logits hidden state lets the teacher-forced
+        training path hoist the [B,H] x [H,V] vocab matmul out of the
+        sequential scan entirely — one [N*B,H] x [H,V] MXU matmul instead of
+        N small ones (reference recomputes it every step, las.py:291).
 
         :param audio_output: [B, S, Dv] listener output
         :param projected_keys: [B, S, H] hoisted key projection
@@ -234,7 +249,7 @@ class AttendAndSpeller(nn.Module):
         :param attention_mask: [B, S] bool
         :param states: flat state tuple threaded through the layer stack
             exactly like the reference (las.py:285-288)
-        :return: (logits [B, V], new_states)
+        :return: (hidden [B, H] after output dropout, new_states)
         """
         token_mask = (decoder_input != self.pad_id)[:, None].astype(self.dtype)
         x = self.embedding(decoder_input)
@@ -270,8 +285,22 @@ class AttendAndSpeller(nn.Module):
 
         if dropout_masks is not None:
             x = x * dropout_masks["out"]
-        logits = self.feedforward(x)
-        return logits, states
+        return x, states
+
+    def step(
+        self,
+        audio_output,
+        projected_keys,
+        decoder_input,
+        attention_mask,
+        states: Tuple,
+        dropout_masks=None,
+    ):
+        """One full decode step: (logits [B, V], new_states)."""
+        x, states = self.step_hidden(
+            audio_output, projected_keys, decoder_input, attention_mask, states, dropout_masks
+        )
+        return self.feedforward(x), states
 
 
 class LAS(ModelProto):
@@ -343,13 +372,20 @@ class LAS(ModelProto):
                 self.make_rng("dropout"), B, audio_output.shape[-1]
             )
 
-        # teacher forcing coin flipped once per batch (reference las.py:366)
-        if training and self.has_rng("teacher_forcing"):
+        # teacher forcing coin flipped once per batch (reference las.py:366).
+        # Statically teacher-forced (no coin, no cond) when not training or
+        # when the rate is 1.0 — the compiler then sees only the fast path.
+        static_teacher_forcing = (
+            not training
+            or not self.has_rng("teacher_forcing")
+            or self.teacher_forcing_rate >= 1.0
+        )
+        if static_teacher_forcing:
+            use_teacher_forcing = None
+        else:
             use_teacher_forcing = (
                 jax.random.uniform(self.make_rng("teacher_forcing"), ()) < self.teacher_forcing_rate
             )
-        else:
-            use_teacher_forcing = jnp.asarray(True)
 
         # step 0 outside the scan (primes submodule parameters; first token is
         # always the given input, reference las.py:369)
@@ -357,18 +393,43 @@ class LAS(ModelProto):
             audio_output, projected_keys, decoder_input[:, 0], attention_mask, states, dropout_masks
         )
 
-        def body(carry, tok_t):
-            states, prev_logits = carry
-            feedback = jnp.argmax(prev_logits, axis=-1).astype(jnp.int32)
-            tok = jnp.where(use_teacher_forcing, tok_t, feedback)
-            logits, new_states = self.attend_and_speller.step(
-                audio_output, projected_keys, tok, attention_mask, states, dropout_masks
-            )
-            return (new_states, logits), logits
-
         tokens_t = jnp.swapaxes(decoder_input[:, 1:], 0, 1)  # [N-1, B]
-        (_, _), rest = jax.lax.scan(body, (states, logits0), tokens_t)
-        logits = jnp.concatenate([logits0[None], rest], axis=0)  # [N, B, V]
+
+        # Two decoder paths selected by the per-batch coin (reference
+        # las.py:366-372).  Teacher-forced (rate 0.99 in every shipped
+        # config): the scan emits hidden states only and the [N*B,H] x [H,V]
+        # vocab projection runs ONCE after the scan on the MXU.  Feedback:
+        # logits must live inside the scan for the argmax.  lax.cond executes
+        # only the sampled branch at runtime.
+        def teacher_forced(mdl, states):
+            def body(states, tok_t):
+                hidden, new_states = mdl.attend_and_speller.step_hidden(
+                    audio_output, projected_keys, tok_t, attention_mask, states, dropout_masks
+                )
+                return new_states, hidden
+
+            _, hiddens = jax.lax.scan(body, states, tokens_t, unroll=_decoder_unroll())
+            return mdl.attend_and_speller.feedforward(hiddens)  # one [N-1,B,H]x[H,V]
+
+        def feedback(mdl, states):
+            def body(carry, tok_t):
+                states, prev_logits = carry
+                tok = jnp.argmax(prev_logits, axis=-1).astype(jnp.int32)
+                logits, new_states = mdl.attend_and_speller.step(
+                    audio_output, projected_keys, tok, attention_mask, states, dropout_masks
+                )
+                return (new_states, logits), logits
+
+            (_, _), rest = jax.lax.scan(body, (states, logits0), tokens_t, unroll=_decoder_unroll())
+            return rest
+
+        if N <= 1:
+            logits = logits0[None]
+        elif use_teacher_forcing is None:
+            logits = jnp.concatenate([logits0[None], teacher_forced(self, states)], axis=0)
+        else:
+            rest = nn.cond(use_teacher_forcing, teacher_forced, feedback, self, states)
+            logits = jnp.concatenate([logits0[None], rest], axis=0)  # [N, B, V]
         return jnp.swapaxes(logits, 0, 1)
 
     # ----------------------------------------------------------------- plumbing

@@ -40,14 +40,16 @@ def _lstm_kernel(x_ref, mask_ref, rk_ref, h0_ref, c0_ref, out_ref, hl_ref, cl_re
     h = h_scr[:]
     c = c_scr[:]
     x = x_ref[0]  # [B, 4H] (input bias already folded in)
-    z = x + jnp.dot(h, rk_ref[:], preferred_element_type=jnp.float32).astype(x.dtype)
+    # gate math in f32: Mosaic rejects bf16 transcendentals (f32-scalar
+    # broadcast into a bf16 vector), and f32 is numerically better anyway
+    z = x.astype(jnp.float32) + jnp.dot(h, rk_ref[:], preferred_element_type=jnp.float32)
     H = h.shape[-1]
     zi, zf, zc, zo = z[:, :H], z[:, H : 2 * H], z[:, 2 * H : 3 * H], z[:, 3 * H :]
     i = jax.nn.sigmoid(zi)
     f = jax.nn.sigmoid(zf)
-    c_new = f * c + i * jnp.tanh(zc)
+    c_new = (f * c.astype(jnp.float32) + i * jnp.tanh(zc)).astype(h.dtype)
     o = jax.nn.sigmoid(zo)
-    h_new = o * jnp.tanh(c_new)
+    h_new = (o * jnp.tanh(c_new.astype(jnp.float32))).astype(h.dtype)
 
     m = mask_ref[0].astype(h.dtype)  # [B, 1]
     h_scr[:] = m * h_new + (1.0 - m) * h
@@ -69,15 +71,15 @@ def _gru_kernel(x_ref, mask_ref, rk_ref, rb_ref, h0_ref, out_ref, hl_ref, h_scr)
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    x = x_ref[0]  # [B, 3H] with input bias folded in
-    inner = jnp.dot(h, rk_ref[:], preferred_element_type=jnp.float32).astype(x.dtype) + rb_ref[0]
+    x = x_ref[0].astype(jnp.float32)  # [B, 3H] with input bias folded in
+    inner = jnp.dot(h, rk_ref[:], preferred_element_type=jnp.float32) + rb_ref[0].astype(jnp.float32)
     H = h.shape[-1]
     xz, xr, xh = x[:, :H], x[:, H : 2 * H], x[:, 2 * H :]
     rz, rr, rh = inner[:, :H], inner[:, H : 2 * H], inner[:, 2 * H :]
     z = jax.nn.sigmoid(xz + rz)
     r = jax.nn.sigmoid(xr + rr)
     hh = jnp.tanh(xh + r * rh)
-    h_new = z * h + (1.0 - z) * hh
+    h_new = (z * h.astype(jnp.float32) + (1.0 - z) * hh).astype(h.dtype)
 
     m = mask_ref[0].astype(h.dtype)
     h_scr[:] = m * h_new + (1.0 - m) * h

@@ -78,14 +78,19 @@ def init_state(rnn_type: str, batch: int, units: int, dtype) -> Tuple[jnp.ndarra
 def _use_pallas_sequence(rnn_type: str, training: bool) -> bool:
     """Use the Pallas full-sequence kernel (ops/pallas/rnn_kernel.py) for
     inference-path LSTM/GRU on TPU.  Opt-in via SRT_PALLAS_RNN=1 (the kernel
-    is forward-only; training always takes the differentiable scan path)."""
+    is forward-only; training always takes the differentiable scan path).
+
+    Measured on the real chip (tools/pallas_check.py, T=255 B=128 H=256):
+    GRU 1.28 ms vs 1.50 ms scan (17% faster); LSTM 1.41 ms vs 1.19 ms
+    (slower — XLA's scan lowering is already tight for a one-matmul body),
+    so the kernel is only selected for GRU."""
     import os
 
     import jax
 
     return (
         not training
-        and rnn_type in ("lstm", "gru")
+        and rnn_type == "gru"
         and os.environ.get("SRT_PALLAS_RNN", "0") == "1"
         and jax.default_backend() == "tpu"
     )
@@ -144,6 +149,18 @@ class RNN(nn.Module):
     # rematerialize the scan body in the backward pass (trade FLOPs for the
     # per-step gate activation memory; lets bigger batches fit HBM)
     remat: bool = False
+    # scan unroll factor; 0 = auto.  Measured on v5e (bench.py sweep): any
+    # unrolling of the encoder scan HURTS (1: 63.7ms/step, 4: 73.1, 8: 67.5,
+    # 16: 77.5 on the LAS-small B=128 bench) — the body is a single
+    # dependent matmul, so unrolling only inflates the schedule.  Auto = 1.
+    unroll: int = 0
+
+    def _unroll(self) -> int:
+        if self.unroll:
+            return self.unroll
+        import os
+
+        return int(os.environ.get("SRT_RNN_UNROLL", 1))
 
     @nn.compact
     def __call__(self, inputs, mask, initial_state=None, training: bool = False):
@@ -212,7 +229,9 @@ class RNN(nn.Module):
             return new_state, h_new * m
 
         body_fn = jax.checkpoint(body) if self.remat else body
-        final_state, outputs = jax.lax.scan(body_fn, state0, (x_proj_t, mask_t), reverse=self.reverse)
+        final_state, outputs = jax.lax.scan(
+            body_fn, state0, (x_proj_t, mask_t), reverse=self.reverse, unroll=self._unroll()
+        )
         return jnp.swapaxes(outputs, 0, 1), final_state
 
 

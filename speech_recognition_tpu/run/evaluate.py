@@ -35,7 +35,7 @@ def main(args: argparse.Namespace):
     import numpy as np
 
     from ..configs import DataConfig, get_model_config
-    from ..data import SentencePieceTokenizer, get_dataset, get_tfrecord_dataset, padded_batch
+    from ..data import SentencePieceTokenizer, get_dataset, get_tfrecord_dataset
     from ..models import LAS, DeepSpeech2
     from ..ops.features import delta_accelerate
     from ..search import DeepSpeechSearcher, LASSearcher
@@ -80,18 +80,25 @@ def main(args: argparse.Namespace):
     elif isinstance(model, DeepSpeech2):
         searcher = DeepSpeechSearcher(model, variables, model_config.blank_index)
 
+    from ..data.dataset import quantized_padded_batch
+
+    # static max shapes on TPU; bounded quantized shapes elsewhere (dynamic
+    # per-batch pads would recompile the decode loop for every distinct T)
     audio_pad = config.max_audio_length if args.device == "TPU" else None
     token_pad = config.max_token_length if args.device == "TPU" else None
 
     # ---------------------------------------------------------------- inference
     logger.info("[+] Start Inference")
     outputs = []
-    for batch_audio, batch_tokens in padded_batch(stream, args.batch_size, audio_pad, token_pad):
+    batches = quantized_padded_batch(
+        stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad
+    )
+    for batch_audio, batch_tokens, n_valid in batches:
         if args.beam_size > 0:
             batch_output = np.asarray(searcher.beam_search(batch_audio, args.beam_size)[0][:, 0, :])
         else:
             batch_output = np.asarray(searcher.greedy_search(batch_audio)[0])
-        outputs.extend(zip(batch_output, batch_tokens))
+        outputs.extend(zip(batch_output[:n_valid], batch_tokens[:n_valid]))
     logger.info("[+] Ended Inference")
 
     to_str = lambda tokens: tokenizer.detokenize([int(t) for t in tokens])

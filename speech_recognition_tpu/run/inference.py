@@ -80,26 +80,22 @@ def main(args: argparse.Namespace):
         searcher = DeepSpeechSearcher(model, variables, model_config.blank_index)
 
     logger.info("Start Inference")
-    outputs = []
-    batch = []
+    from ..data.dataset import quantized_padded_batch
 
-    def _flush():
-        if not batch:
-            return
-        max_len = max(f.shape[0] for f in batch)
-        audio = np.stack([np.pad(f, [(0, max_len - f.shape[0])] + [(0, 0)] * (f.ndim - 1)) for f in batch])
+    # bounded shape set for the jitted decode loop (see run/evaluate.py)
+    audio_pad = config.max_audio_length if args.device == "TPU" else None
+    outputs = []
+    batches = quantized_padded_batch(
+        ((feat, np.zeros(1, np.int32)) for feat in stream()),
+        args.batch_size,
+        audio_pad_length=audio_pad,
+    )
+    for audio, _, n_valid in batches:
         if args.beam_size > 0:
             decoded = np.asarray(searcher.beam_search(audio, args.beam_size)[0][:, 0, :])
         else:
             decoded = np.asarray(searcher.greedy_search(audio)[0])
-        outputs.extend(decoded)
-        batch.clear()
-
-    for feat in stream():
-        batch.append(feat)
-        if len(batch) == args.batch_size:
-            _flush()
-    _flush()
+        outputs.extend(decoded[:n_valid])
 
     sentences = [tokenizer.detokenize([int(t) for t in out]) for out in outputs]
     logger.info("Ended Inference, Start to save...")

@@ -192,3 +192,21 @@ def test_bucket_batch():
     total = sum(b[0].shape[0] for b in batches)
     assert total == len(data)
     assert max(b[0].shape[1] for b in batches) == 40
+
+
+def test_quantized_padded_batch():
+    from speech_recognition_tpu.data.dataset import quantized_padded_batch
+
+    data = [
+        (np.ones((t, 4, 1), np.float32), np.ones(3, np.int32))
+        for t in [5, 130, 7, 250, 6]
+    ]
+    batches = list(quantized_padded_batch(iter(data), 2, time_quantum=128))
+    # audio axis quantized to multiples of 128, batch axis always full
+    assert [b[0].shape for b in batches] == [(2, 256, 4, 1), (2, 256, 4, 1), (2, 128, 4, 1)]
+    assert [b[2] for b in batches] == [2, 2, 1]
+    # zero-padded final row
+    assert (batches[-1][0][1] == 0).all()
+    # explicit pad lengths win over quantization
+    batches = list(quantized_padded_batch(iter(data), 2, audio_pad_length=300, token_pad_length=8))
+    assert all(b[0].shape == (2, 300, 4, 1) and b[1].shape == (2, 8) for b in batches)

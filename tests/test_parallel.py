@@ -92,6 +92,53 @@ def test_tensor_parallel_las_runs(eight_devices):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tensor_parallel_matches_single_device(eight_devices):
+    """dp x tp must be numerically equivalent to single-device training, not
+    just finite (VERDICT: mirror the DP equivalence pattern on the tp mesh).
+
+    Uses teacher_forcing_rate=1.0 so the decoder path is static (no coin) —
+    the per-batch Bernoulli would consume RNG identically on both sides, but
+    static TF keeps the comparison about sharding, not sampling.
+    """
+    model = LAS("gru", 64, 8, 8, 1, 1, 0.0, 1.0)
+    rng = jax.random.PRNGKey(1)
+    audio = jax.random.uniform(rng, (8, 24, 10, 3), minval=0.1)
+    tokens = jax.random.randint(rng, (8, 5), 1, 64)
+    variables = model.init({"params": rng}, (audio, tokens))
+    # SGD, not Adam: with near-zero gradients Adam's update is +-lr * sign(g),
+    # so float reduction-order noise between meshes flips whole updates; SGD
+    # keeps the comparison proportional to the actual gradient difference.
+    tx = optax.sgd(0.1)
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=True)
+    step_rng = jax.random.PRNGKey(2)
+
+    def fresh(v):
+        return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), dict(v))
+
+    state1 = TrainState.create(fresh(variables), tx)
+    state1, m1 = step(state1, (audio, tokens[:, :-1]), tokens[:, 1:], step_rng)
+
+    mesh = get_device_mesh(data_parallel=4, model_parallel=2, devices=eight_devices)
+    state_tp = TrainState.create(fresh(variables), tx)
+    state_tp = state_tp.replace(
+        params=shard_params(state_tp.params, mesh, tensor_parallel=True),
+        batch_stats=shard_params(state_tp.batch_stats, mesh),
+        opt_state=shard_params(state_tp.opt_state, mesh, tensor_parallel=True),
+    )
+    mi = shard_batch((audio, tokens[:, :-1]), mesh)
+    y = shard_batch(tokens[:, 1:], mesh)
+    state_tp, m_tp = step(state_tp, mi, y, step_rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["accuracy_sum"]), float(m_tp["accuracy_sum"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params), jax.tree_util.tree_leaves(state_tp.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_shard_batch_places_on_data_axis(eight_devices):
     mesh = get_device_mesh(data_parallel=8, model_parallel=1, devices=eight_devices)
     x = np.zeros((16, 4), np.float32)

@@ -33,6 +33,24 @@ def test_serialize_parse_roundtrip(tmp_path):
     np.testing.assert_array_equal(pairs[0][1], tokens)
 
 
+def test_corruption_detected(tmp_path):
+    """A flipped byte in the record payload must raise, not pass silently."""
+    import gzip
+
+    audio = np.zeros((10, 4, 1), np.float32)
+    tokens = np.array([1, 2, 3], np.int32)
+    path = str(tmp_path / "x.tfrecord")
+    tfrecord.write_records(path, [tfrecord.serialize_example(audio, tokens)])
+
+    raw = bytearray(gzip.open(path, "rb").read())
+    raw[20] ^= 0xFF  # flip a payload byte (past the 12-byte header)
+    corrupt = str(tmp_path / "bad.tfrecord")
+    with gzip.open(corrupt, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt record"):
+        list(tfrecord.read_example_dataset(corrupt))
+
+
 @pytest.mark.skipif(not os.path.exists(REF_TFRECORD), reason="reference fixture unavailable")
 def test_read_reference_fixture():
     pairs = list(tfrecord.read_example_dataset(REF_TFRECORD))
