@@ -14,10 +14,17 @@ import optax
 
 def sparse_categorical_crossentropy(y_true, logits, ignore_index: int = 0):
     """Masked sparse CE from logits, averaged over non-pad positions
-    (reference measure.py:4-21: boolean_mask + SUM_OVER_BATCH_SIZE)."""
-    logits = logits.astype(jnp.float32)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, y_true[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    (reference measure.py:4-21: boolean_mask + SUM_OVER_BATCH_SIZE).
+
+    Computed as logsumexp(logits) - logits[y] rather than via log_softmax:
+    mathematically identical, but log_softmax materializes a full [B, N, V]
+    float32 tensor (~1 GB for the LAS-small bench shapes) that the fused
+    reduction + gather form never writes to HBM.
+    """
+    y = y_true[..., None].astype(jnp.int32)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    gathered = jnp.take_along_axis(logits, y, axis=-1)[..., 0].astype(jnp.float32)
+    nll = lse - gathered
     mask = (y_true != ignore_index).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 

@@ -16,6 +16,7 @@ models/las.py:10-17, 62-126) with mask-aware scan recurrences:
   reference's published TF checkpoints map 1:1 onto this pytree.
 """
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -133,6 +134,176 @@ def cell_step(
     return h_new, (h_new,)
 
 
+# --------------------------------------------------------- custom LSTM VJP
+# XLA's autodiff of the LSTM scan accumulates the recurrent-weight gradient
+# with a [H,B]x[B,4H] matmul INSIDE every backward step — on the sequential
+# critical path.  This custom VJP's backward scan computes only the gate
+# grads and the dh chain (one matmul per step); dR is then ONE
+# [H, T*B] x [T*B, 4H] MXU matmul over the saved trajectories.  Forward math
+# is identical to the body in RNN.__call__ (gates saved as residuals, same
+# as XLA's own backward).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _lstm_scan(x_proj_t, mask_f_t, recurrent_kernel, h0, c0, reverse: bool):
+    (h_last, c_last), (out, *_rest) = _lstm_scan_fwd_core(
+        x_proj_t, mask_f_t, recurrent_kernel, h0, c0, reverse
+    )
+    return out, h_last, c_last
+
+
+def _lstm_scan_fwd_core(x_proj_t, mask_f_t, rk, h0, c0, reverse):
+    H = h0.shape[-1]
+
+    def body(state, inp):
+        x_t, m_t = inp
+        h, c = state
+        z = x_t + h @ rk
+        zi, zf, zc, zo = jnp.split(z, 4, axis=-1)
+        i = jax.nn.sigmoid(zi)
+        f = jax.nn.sigmoid(zf)
+        g = jnp.tanh(zc)
+        o = jax.nn.sigmoid(zo)
+        c_p = f * c + i * g
+        h_p = o * jnp.tanh(c_p)
+        h_new = m_t * h_p + (1.0 - m_t) * h
+        c_new = m_t * c_p + (1.0 - m_t) * c
+        return (h_new, c_new), (h_p * m_t, i, f, g, o, c_p, h, c)
+
+    return jax.lax.scan(body, (h0, c0), (x_proj_t, mask_f_t), reverse=reverse)
+
+
+def _lstm_scan_fwd(x_proj_t, mask_f_t, recurrent_kernel, h0, c0, reverse):
+    (h_last, c_last), (out, i, f, g, o, c_p, h_prev, c_prev) = _lstm_scan_fwd_core(
+        x_proj_t, mask_f_t, recurrent_kernel, h0, c0, reverse
+    )
+    residuals = (mask_f_t, recurrent_kernel, i, f, g, o, c_p, h_prev, c_prev)
+    return (out, h_last, c_last), residuals
+
+
+def _lstm_scan_bwd(reverse, residuals, cotangents):
+    mask_f_t, rk, i, f, g, o, c_p, h_prev, c_prev = residuals
+    dout, dh_last, dc_last = cotangents
+    rk_T = rk.T
+
+    def body(carry, inp):
+        dh, dc = carry
+        dout_t, m, i_t, f_t, g_t, o_t, cp_t, hprev_t, cprev_t = inp
+        tanh_cp = jnp.tanh(cp_t)
+        dh_p = m * dout_t + m * dh
+        dh_prev = (1.0 - m) * dh
+        dc_p = m * dc
+        dc_prev = (1.0 - m) * dc
+        do = dh_p * tanh_cp
+        dc_p = dc_p + dh_p * o_t * (1.0 - tanh_cp * tanh_cp)
+        df = dc_p * cprev_t
+        dc_prev = dc_prev + dc_p * f_t
+        di = dc_p * g_t
+        dg = dc_p * i_t
+        dz = jnp.concatenate(
+            [
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                dg * (1.0 - g_t * g_t),
+                do * o_t * (1.0 - o_t),
+            ],
+            axis=-1,
+        )
+        dh_prev = dh_prev + dz @ rk_T
+        return (dh_prev, dc_prev), dz
+
+    # walk time in the opposite order of the forward scan
+    (dh0, dc0), dz = jax.lax.scan(
+        body,
+        (dh_last, dc_last),
+        (dout, mask_f_t, i, f, g, o, c_p, h_prev, c_prev),
+        reverse=not reverse,
+    )
+    dx = dz  # z = x + h @ R
+    # the hoisted weight gradient: one big MXU matmul over the trajectory
+    drk = jnp.einsum("tbh,tbg->hg", h_prev, dz)
+    dmask = jnp.zeros_like(mask_f_t)
+    return dx, dmask, drk, dh0, dc0
+
+
+_lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
+
+
+# Same hoisted-dW trick for the (reset_after) GRU — DS2's recurrent stack
+# ships as 7 BiGRU layers (resources/configs/deepspeech.yml).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gru_scan(x_proj_t, mask_f_t, recurrent_kernel, recurrent_bias, h0, reverse: bool):
+    h_last, (out, *_rest) = _gru_scan_fwd_core(
+        x_proj_t, mask_f_t, recurrent_kernel, recurrent_bias, h0, reverse
+    )
+    return out, h_last
+
+
+def _gru_scan_fwd_core(x_proj_t, mask_f_t, rk, rb, h0, reverse):
+    H = h0.shape[-1]
+
+    def body(h, inp):
+        x_t, m_t = inp
+        inner = h @ rk + rb
+        xz, xr, xh = jnp.split(x_t, 3, axis=-1)
+        rz, rr, rh = jnp.split(inner, 3, axis=-1)
+        z = jax.nn.sigmoid(xz + rz)
+        r = jax.nn.sigmoid(xr + rr)
+        hh = jnp.tanh(xh + r * rh)
+        h_p = z * h + (1.0 - z) * hh
+        h_new = m_t * h_p + (1.0 - m_t) * h
+        return h_new, (h_p * m_t, z, r, hh, rh, h)
+
+    return jax.lax.scan(body, h0, (x_proj_t, mask_f_t), reverse=reverse)
+
+
+def _gru_scan_fwd(x_proj_t, mask_f_t, recurrent_kernel, recurrent_bias, h0, reverse):
+    h_last, (out, z, r, hh, rh, h_prev) = _gru_scan_fwd_core(
+        x_proj_t, mask_f_t, recurrent_kernel, recurrent_bias, h0, reverse
+    )
+    residuals = (mask_f_t, recurrent_kernel, z, r, hh, rh, h_prev)
+    return (out, h_last), residuals
+
+
+def _gru_scan_bwd(reverse, residuals, cotangents):
+    mask_f_t, rk, z, r, hh, rh, h_prev = residuals
+    dout, dh_last = cotangents
+    rk_T = rk.T
+
+    def body(dh, inp):
+        dout_t, m, z_t, r_t, hh_t, rh_t, hprev_t = inp
+        dh_p = m * dout_t + m * dh
+        dh_prev = (1.0 - m) * dh
+        # h' = z*h_prev + (1-z)*hh
+        dz = dh_p * (hprev_t - hh_t)
+        dh_prev = dh_prev + dh_p * z_t
+        dhh = dh_p * (1.0 - z_t)
+        # hh = tanh(xh + r*rh)
+        da = dhh * (1.0 - hh_t * hh_t)
+        dxh = da
+        dr = da * rh_t
+        d_rh = da * r_t
+        # r = sigmoid(xr + rr), z = sigmoid(xz + rz)
+        db = dr * r_t * (1.0 - r_t)
+        dc = dz * z_t * (1.0 - z_t)
+        d_inner = jnp.concatenate([dc, db, d_rh], axis=-1)
+        dx = jnp.concatenate([dc, db, dxh], axis=-1)
+        dh_prev = dh_prev + d_inner @ rk_T
+        return dh_prev, (dx, d_inner)
+
+    dh0, (dx, d_inner) = jax.lax.scan(
+        body,
+        dh_last,
+        (dout, mask_f_t, z, r, hh, rh, h_prev),
+        reverse=not reverse,
+    )
+    drk = jnp.einsum("tbh,tbg->hg", h_prev, d_inner)
+    drb = jnp.sum(d_inner, axis=(0, 1))
+    dmask = jnp.zeros_like(mask_f_t)
+    return dx, dmask, drk, drb, dh0
+
+
+_gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)
+
+
 class RNN(nn.Module):
     """Unidirectional mask-aware recurrent layer.
 
@@ -216,6 +387,37 @@ class RNN(nn.Module):
             )
             return jnp.swapaxes(outputs_t, 0, 1), final_state
 
+        import os
+
+        remat = self.remat or os.environ.get("SRT_RNN_REMAT", "0") == "1"
+        custom_vjp_ok = (
+            rec_drop_mask is None
+            and not remat
+            and os.environ.get("SRT_LSTM_CUSTOM_VJP", "1") == "1"
+        )
+        if self.rnn_type == "lstm" and custom_vjp_ok:
+            # custom-VJP path: backward does one matmul per step instead of
+            # two (weight-gradient accumulation hoisted out of the scan)
+            out_t, h_last, c_last = _lstm_scan(
+                x_proj_t,
+                mask_t.astype(self.dtype),
+                recurrent_kernel,
+                state0[0],
+                state0[1],
+                self.reverse,
+            )
+            return jnp.swapaxes(out_t, 0, 1), (h_last, c_last)
+        if self.rnn_type == "gru" and custom_vjp_ok:
+            out_t, h_last = _gru_scan(
+                x_proj_t,
+                mask_t.astype(self.dtype),
+                recurrent_kernel,
+                recurrent_bias.astype(self.dtype),
+                state0[0],
+                self.reverse,
+            )
+            return jnp.swapaxes(out_t, 0, 1), (h_last,)
+
         def body(state, inp):
             x_t, m_t = inp
             h_state = state
@@ -228,7 +430,7 @@ class RNN(nn.Module):
             new_state = tuple(m * ns + (1.0 - m) * os for ns, os in zip(new_state, state))
             return new_state, h_new * m
 
-        body_fn = jax.checkpoint(body) if self.remat else body
+        body_fn = jax.checkpoint(body) if remat else body
         final_state, outputs = jax.lax.scan(
             body_fn, state0, (x_proj_t, mask_t), reverse=self.reverse, unroll=self._unroll()
         )

@@ -84,6 +84,40 @@ def test_rnn_masked_matches_keras(rnn_type):
     np.testing.assert_allclose(np.asarray(state[0]), keras_state[0].numpy(), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("rnn_type", ["lstm", "gru"])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_rnn_custom_vjp_matches_autodiff(rnn_type, reverse):
+    """The hoisted-dW custom VJP must produce the same outputs AND gradients
+    as XLA autodiff through the plain scan, including masked steps."""
+    import jax
+    import os
+
+    rng = np.random.default_rng(3)
+    T, B, D, H = 9, 4, 5, 6
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    lengths = np.array([9, 7, 4, 1])
+    mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
+
+    layer = RNN(rnn_type, H, reverse=reverse)
+    variables = layer.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(variables, x, enabled):
+        os.environ["SRT_LSTM_CUSTOM_VJP"] = enabled
+        try:
+            out, state = layer.apply(variables, x, mask)
+        finally:
+            os.environ.pop("SRT_LSTM_CUSTOM_VJP", None)
+        total = out.sum() * 0.3 + sum((i + 2) * 0.1 * s.sum() for i, s in enumerate(state))
+        return total, out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(variables, x, "1")
+    (l0, o0), g0 = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(variables, x, "0")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_CKPT_DIR), reason="reference checkpoints unavailable")
 def test_convert_las_checkpoint():
     from speech_recognition_tpu.compat import convert_tf_checkpoint
