@@ -80,6 +80,23 @@ def split_audio_lengths(audio_input):
     return audio_input, None
 
 
+class DenseParams(nn.Module):
+    """Param holder with nn.Dense's layout/initializers (kernel, bias).
+
+    Exposes the raw arrays (the custom-VJP decoder scan needs them as
+    explicit operands) while keeping checkpoint paths identical to an
+    nn.Dense of the same name.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Dot-product attention with projected query/key (reference las.py:20-59)."""
 
@@ -87,12 +104,17 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.query_weight = nn.Dense(self.hidden_dim, dtype=self.dtype, name="query_weight")
-        self.key_weight = nn.Dense(self.hidden_dim, dtype=self.dtype, name="key_weight")
+        self.query_weight = DenseParams(self.hidden_dim, name="query_weight")
+        self.key_weight = DenseParams(self.hidden_dim, name="key_weight")
+
+    def query_params(self, in_dim: int):
+        kernel, bias = self.query_weight(in_dim)
+        return kernel.astype(self.dtype), bias.astype(self.dtype)
 
     def project_keys(self, key: jnp.ndarray) -> jnp.ndarray:
         """[B, S, H] -> [B, S, H], hoisted out of the decode loop."""
-        return self.key_weight(key)
+        kernel, bias = self.key_weight(key.shape[-1])
+        return key @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
     def __call__(self, query, key, value, attention_mask, projected_key=None):
         """query [B,H], key/value [B,S,*], mask [B,S] -> context [B,Dv].
@@ -101,8 +123,9 @@ class Attention(nn.Module):
         projection on the decode hot path.
         """
         if projected_key is None:
-            projected_key = self.key_weight(key)
-        q = self.query_weight(query)[:, None, :]  # [B,1,H]
+            projected_key = self.project_keys(key)
+        qk, qb = self.query_params(query.shape[-1])
+        q = (query @ qk + qb)[:, None, :]  # [B,1,H]
         scores = jnp.einsum("bqh,bsh->bqs", q, projected_key)
         scores = scores - 1e9 * (1.0 - attention_mask[:, None, :].astype(scores.dtype))
         probs = jax.nn.softmax(scores, axis=-1)
@@ -402,14 +425,65 @@ class LAS(ModelProto):
         # logits must live inside the scan for the argmax.  lax.cond executes
         # only the sampled branch at runtime.
         def teacher_forced(mdl, states):
+            import os
+
+            aas = mdl.attend_and_speller
+            if mdl.rnn_type == "lstm" and os.environ.get("SRT_DECODER_CUSTOM_VJP", "1") == "1":
+                # custom-VJP decoder scan (ops/decoder.py): all weight-grad
+                # accumulations hoisted out of the sequential backward loop
+                from ..ops.decoder import decoder_scan_lstm
+
+                H = aas.hidden_dim
+                Dv = audio_output.shape[-1]
+                Bsz = audio_output.shape[0]
+                emb_all = aas.embedding(decoder_input[:, 1:]).astype(mdl.dtype)
+                if dropout_masks is not None:
+                    emb_all = emb_all * dropout_masks["emb"][:, None, :]
+                    cell_masks = tuple(dropout_masks["cells"])
+                    out_mask = dropout_masks["out"]
+                else:
+                    cms, d = [], H + Dv
+                    for _ in aas.cells:
+                        cms.append(jnp.ones((Bsz, d), mdl.dtype))
+                        d = H
+                    cell_masks, out_mask = tuple(cms), jnp.ones((Bsz, H), mdl.dtype)
+                qw, qb = aas.attention.query_params(H)
+                kernels, rkernels, biases = [], [], []
+                in_dim = H + Dv
+                for cell in aas.cells:
+                    k, r, b = cell(in_dim)
+                    kernels.append(k.astype(mdl.dtype))
+                    rkernels.append(r.astype(mdl.dtype))
+                    biases.append(b.astype(mdl.dtype))
+                    in_dim = H
+                tok_mask = (tokens_t != aas.pad_id)[:, :, None].astype(mdl.dtype)
+                attn_bias = -1e9 * (1.0 - attention_mask.astype(mdl.dtype))
+                hiddens, _, _ = decoder_scan_lstm(
+                    jnp.swapaxes(emb_all, 0, 1),
+                    tok_mask,
+                    projected_keys.astype(mdl.dtype),
+                    audio_output.astype(mdl.dtype),
+                    attn_bias,
+                    qw,
+                    qb,
+                    tuple(kernels),
+                    tuple(rkernels),
+                    tuple(biases),
+                    cell_masks,
+                    out_mask,
+                    states[0].astype(mdl.dtype),
+                    states[1].astype(mdl.dtype),
+                )
+                return aas.feedforward(hiddens)
+
             def body(states, tok_t):
-                hidden, new_states = mdl.attend_and_speller.step_hidden(
+                hidden, new_states = aas.step_hidden(
                     audio_output, projected_keys, tok_t, attention_mask, states, dropout_masks
                 )
                 return new_states, hidden
 
             _, hiddens = jax.lax.scan(body, states, tokens_t, unroll=_decoder_unroll())
-            return mdl.attend_and_speller.feedforward(hiddens)  # one [N-1,B,H]x[H,V]
+            return aas.feedforward(hiddens)  # one [N-1,B,H]x[H,V]
 
         def feedback(mdl, states):
             def body(carry, tok_t):

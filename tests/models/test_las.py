@@ -44,6 +44,51 @@ def test_audio_frame_lengths_robust_to_interior_zeros():
     assert int(audio_frame_lengths(audio)[1]) == 0
 
 
+@pytest.mark.parametrize("num_decoder_layers,with_dropout", [(1, False), (2, False), (2, True)])
+def test_decoder_custom_vjp_matches_autodiff(num_decoder_layers, with_dropout):
+    """The custom-VJP decoder scan (ops/decoder.py) must produce the same
+    logits AND parameter gradients as autodiff through the step_hidden scan,
+    including pad gating, padded audio, and constant dropout masks."""
+    import os
+
+    dropout = 0.3 if with_dropout else 0.0
+    model = LAS("lstm", 50, 8, 8, 1, num_decoder_layers, dropout, 1.0)
+    rng = jax.random.PRNGKey(5)
+    audio = jax.random.uniform(rng, (3, 24, 10, 3), minval=0.1)
+    audio = audio.at[2, 15:].set(0.0)
+    tokens = jnp.array([[1, 7, 8, 9, 2], [1, 5, 2, 0, 0], [1, 2, 0, 0, 0]], jnp.int32)
+    variables = model.init({"params": rng}, (audio, tokens))
+
+    rngs = {"dropout": jax.random.PRNGKey(9)} if with_dropout else {}
+
+    def loss(params, enabled):
+        os.environ["SRT_DECODER_CUSTOM_VJP"] = enabled
+        try:
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                (audio, tokens),
+                training=with_dropout,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+        finally:
+            os.environ.pop("SRT_DECODER_CUSTOM_VJP", None)
+        weights = jnp.arange(1, logits.size + 1, dtype=jnp.float32).reshape(logits.shape)
+        return jnp.sum(logits * weights) * 1e-4, logits
+
+    (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(variables["params"], "1")
+    (l0, o0), g0 = jax.value_and_grad(loss, has_aux=True)(variables["params"], "0")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    for (p1, a), (p0, b) in zip(flat1, flat0):
+        assert p1 == p0
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(p1),
+        )
+
+
 def test_las_explicit_lengths_match_derived():
     """((audio, lengths), dec) input must equal the zero-derived path when
     the derived lengths are correct."""

@@ -182,6 +182,37 @@ def test_train_cli_bucketed(tmp_path):
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
 
 
+def test_train_cli_learns(tmp_path):
+    """Trainability regression: 24 optimization steps on the 2-example
+    fixture must reduce val_loss substantially (guards optimizer wiring,
+    custom VJPs, masks — not just 'runs without crashing')."""
+    import csv
+    import re
+
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(
+        tmp_path,
+        TEST_LAS_CONFIG,
+        extra=[
+            "--epochs", "6",
+            "--steps-per-epoch", "4",
+            "--learning-rate", "5e-3",
+            "--batch-size", "2",
+        ],
+    )
+    main(TrainConfig(**vars(parser.parse_args(args))))
+    losses = []
+    for name in os.listdir(tmp_path / "output" / "models"):
+        m = re.match(r"model-(\d+)epoch-([\d.]+)loss", name)
+        assert m, name
+        losses.append((int(m.group(1)), float(m.group(2))))
+    losses = [l for _, l in sorted(losses)]
+    assert len(losses) == 6
+    assert losses[-1] < losses[0] - 0.8, f"val_loss did not improve: {losses}"
+
+
 def test_train_cli_auto_resume(tmp_path):
     from speech_recognition_tpu.run.train import main, parser
     from speech_recognition_tpu.configs import TrainConfig
