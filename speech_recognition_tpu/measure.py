@@ -9,7 +9,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def sparse_categorical_crossentropy(y_true, logits, ignore_index: int = 0):
@@ -39,6 +38,104 @@ def sparse_categorical_accuracy(y_true, logits, ignore_index: int = 0) -> Tuple[
     return correct, count
 
 
+_NEG = -1e30
+
+
+@jax.custom_vjp
+def _emission_logprobs(logits, ids):
+    """log softmax(logits) gathered at ``ids`` -> [B, T, K].
+
+    Forward is a fused lse + tiny gather.  The custom backward replaces the
+    gather's transpose — a scatter-add into [B, T, V], which serializes on
+    TPU (~10 ms at DS2 bench shapes) — with a one-hot batched matmul on the
+    MXU (<1 ms), plus the softmax term from the lse.
+    """
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    vals = jnp.take_along_axis(logits, ids[:, None, :], axis=2).astype(jnp.float32)
+    return vals - lse[..., None]
+
+
+def _emission_logprobs_fwd(logits, ids):
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    vals = jnp.take_along_axis(logits, ids[:, None, :], axis=2).astype(jnp.float32)
+    return vals - lse[..., None], (logits, ids, lse)
+
+
+def _emission_logprobs_bwd(residuals, dvals):
+    import numpy as np
+
+    logits, ids, lse = residuals
+    V = logits.shape[-1]
+    dlse = -jnp.sum(dvals, axis=-1)  # [B,T]
+    softmax = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = (ids[:, :, None] == jnp.arange(V)[None, None, :]).astype(jnp.float32)
+    dlogits = jnp.einsum("btk,bkv->btv", dvals, onehot) + softmax * dlse[..., None]
+    return dlogits.astype(logits.dtype), np.zeros(ids.shape, jax.dtypes.float0)
+
+
+_emission_logprobs.defvjp(_emission_logprobs_fwd, _emission_logprobs_bwd)
+
+
+def ctc_negative_log_likelihood(y_true, logits, blank_index: int, pad_index: int = 0):
+    """Per-sequence CTC -log P(y | logits), full padded T as logit length.
+
+    Own log-space forward DP instead of optax.ctc_loss: optax materializes
+    log_softmax over the whole [B, T, V] vocabulary (~900 MB float32 at
+    bench shapes, and again in backward); only the blank and the N label
+    log-probs are ever needed, so compute lse as one fused reduction and
+    gather [B, T, N+1] values.  Numerical equivalence with optax is tested
+    (tests/models/test_deepspeech2.py).
+    """
+    B, T, V = logits.shape
+    N = y_true.shape[1]
+    y = y_true.astype(jnp.int32)
+
+    ids = jnp.concatenate([y, jnp.full((B, 1), blank_index, jnp.int32)], axis=1)
+    emission = _emission_logprobs(logits, ids)  # [B,T,N+1]
+    lab_lp = emission[..., :N]
+    blank_lp = emission[..., N]
+
+    # augmented label sequence z = [blank, y1, blank, y2, ..., blank], S=2N+1.
+    # skip transition s-2 -> s allowed only at odd s>=3 with y[k] != y[k-1].
+    S = 2 * N + 1
+    odd = jnp.arange(S) % 2 == 1
+    same_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), y[:, 1:] == y[:, :-1]], axis=1
+    )  # [B,N]: label k equals label k-1
+    skip_ok = jnp.zeros((B, S), bool).at[:, 3::2].set(~same_prev[:, 1:])
+
+    def emissions():
+        e = jnp.zeros((B, T, S), jnp.float32)
+        e = e.at[:, :, 0::2].set(blank_lp[:, :, None])
+        e = e.at[:, :, 1::2].set(lab_lp)
+        return e
+
+    e_all = emissions()
+    alpha0 = jnp.full((B, S), _NEG, jnp.float32)
+    alpha0 = alpha0.at[:, 0].set(e_all[:, 0, 0])
+    alpha0 = alpha0.at[:, 1].set(e_all[:, 0, 1])
+
+    neg = jnp.full((B, 1), _NEG, jnp.float32)
+
+    def step(alpha, e_t):
+        a1 = jnp.concatenate([neg, alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate([neg, neg, alpha[:, :-2]], axis=1)
+        a2 = jnp.where(skip_ok, a2, _NEG)
+        new = e_t + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+        return new, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.swapaxes(e_all, 0, 1)[1:])
+
+    label_lengths = jnp.sum((y != pad_index).astype(jnp.int32), axis=-1)  # [B]
+    idx_last = jnp.clip(2 * label_lengths, 0, S - 1)
+    idx_prev = jnp.clip(2 * label_lengths - 1, 0, S - 1)
+    ll = jnp.logaddexp(
+        jnp.take_along_axis(alpha, idx_last[:, None], axis=1)[:, 0],
+        jnp.take_along_axis(alpha, idx_prev[:, None], axis=1)[:, 0],
+    )
+    return -ll, label_lengths.astype(jnp.float32)
+
+
 def ctc_loss(y_true, logits, blank_index: int, pad_index: int = 0):
     """CTC loss normalized by label length, averaged over valid rows
     (reference measure.py:24-42: full padded time as logit length).
@@ -51,11 +148,7 @@ def ctc_loss(y_true, logits, blank_index: int, pad_index: int = 0):
     :param y_true: [B, N] int labels, pad_index-padded
     :param logits: [B, T, V] float logits
     """
-    logits = logits.astype(jnp.float32)
-    label_paddings = (y_true == pad_index).astype(jnp.float32)
-    logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
-    per_seq = optax.ctc_loss(logits, logit_paddings, y_true, label_paddings, blank_id=blank_index)
-    label_lengths = jnp.sum(1.0 - label_paddings, axis=-1)
+    per_seq, label_lengths = ctc_negative_log_likelihood(y_true, logits, blank_index, pad_index)
     valid_row = (label_lengths > 0).astype(jnp.float32)
     per_seq = per_seq / jnp.maximum(label_lengths, 1.0) * valid_row
     return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid_row), 1.0)

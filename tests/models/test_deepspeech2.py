@@ -87,6 +87,42 @@ def test_deepspeech2_ctc_loss():
     assert model.get_metrics() == []
 
 
+def test_ctc_nll_matches_optax():
+    """Our gather-based CTC forward DP must match optax.ctc_loss exactly
+    (same blank conventions, repeated labels, full-T logit lengths) — for
+    values AND gradients."""
+    import optax
+
+    from speech_recognition_tpu.measure import ctc_negative_log_likelihood
+
+    rng = jax.random.PRNGKey(13)
+    B, T, V, N = 4, 17, 30, 6
+    logits = jax.random.normal(rng, (B, T, V))
+    labels = jnp.array(
+        [
+            [5, 5, 7, 2, 0, 0],  # repeated label (skip-transition edge)
+            [3, 4, 3, 4, 3, 4],  # full length
+            [9, 0, 0, 0, 0, 0],  # single label
+            [14, 1, 2, 3, 4, 5],  # includes the blank id as a label-adjacent value
+        ],
+        jnp.int32,
+    )
+
+    def ours(lg):
+        nll, _ = ctc_negative_log_likelihood(labels, lg, blank_index=14)
+        return nll
+
+    def theirs(lg):
+        label_pad = (labels == 0).astype(jnp.float32)
+        logit_pad = jnp.zeros((B, T), jnp.float32)
+        return optax.ctc_loss(lg.astype(jnp.float32), logit_pad, labels, label_pad, blank_id=14)
+
+    np.testing.assert_allclose(np.asarray(ours(logits)), np.asarray(theirs(logits)), rtol=1e-5, atol=1e-5)
+    g_ours = jax.grad(lambda lg: ours(lg).sum())(logits)
+    g_theirs = jax.grad(lambda lg: theirs(lg).sum())(logits)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_theirs), rtol=1e-4, atol=1e-5)
+
+
 def test_ctc_loss_ignores_padded_rows():
     """Zero rows appended by pad_to_batch must contribute neither loss nor
     gradient (reference semantics: padded rows never exist, measure.py:24-42)."""
