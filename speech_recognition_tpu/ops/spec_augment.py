@@ -7,12 +7,11 @@ jitted on device over whole batches.
 - Frequency / time masking follow the paper parameterization exactly
   (m_F masks of width U(0, F); m_T masks of width U(0, T) with the total
   masked time capped at p * num_time, as in reference data.py:282-301).
-- Time warping: the reference warps through tfa.image.sparse_image_warp with
-  a single interior control point, which for this configuration is an
-  (approximately) time-only displacement.  Here it is implemented as the
-  standard two-segment linear time warp used by JAX/espnet SpecAugment
-  implementations: a source frame W <= w0 < T-W is moved to w0 + U(-W, W)
-  and the two segments are linearly resampled with bilinear interpolation.
+- Time warping matches tfa.image.sparse_image_warp semantics (reference
+  data.py:275-280): a single interior control point at the center frequency
+  row moved by U(-W, W), interpolated to a dense flow with an order-2
+  polyharmonic (thin plate) spline pinned by 8 zero-flow boundary points,
+  then a dense bilinear warp (ops/warp.py).
 """
 
 from typing import Optional
@@ -36,30 +35,30 @@ def _mask_axis(key, x: jnp.ndarray, axis_len: int, max_width: int, axis: int, ca
 
 
 def time_warp(key, audio: jnp.ndarray, W: int) -> jnp.ndarray:
-    """Two-segment linear time warp along axis 0.
+    """SpecAugment time warp, tfa.sparse_image_warp semantics.
+
+    A source frame w0 ~ U(W, T-W) at the center frequency row is moved to
+    w0 + U(-W, W) through an order-2 polyharmonic spline warp with 8
+    zero-flow boundary points — exactly the reference's call
+    (data.py:275-280: single interior control point at (time, v//2),
+    num_boundary_points=3).  The spline makes the displacement decay with
+    distance from the center frequency row, unlike a rigid time shift.
 
     :param audio: [T, F, C] feature tensor
     :param W: warp distance parameter (paper's W)
     """
-    num_time = audio.shape[0]
+    from .warp import sparse_image_warp
+
+    num_time, v = audio.shape[0], audio.shape[1]
     if num_time <= 2 * W + 1:
         return audio
     k_src, k_dst = jax.random.split(key)
     src = jax.random.randint(k_src, (), W, num_time - W)
     dst = src + jax.random.randint(k_dst, (), -W, W)
-    dst = jnp.clip(dst, 1, num_time - 2)
 
-    t = jnp.arange(num_time)
-    # piecewise-linear source coordinate: [0, dst] <- [0, src], [dst, T-1] <- [src, T-1]
-    left = src.astype(jnp.float32) * t / jnp.maximum(dst, 1)
-    right = src + (t - dst) * (num_time - 1 - src) / jnp.maximum(num_time - 1 - dst, 1)
-    coords = jnp.where(t <= dst, left, right).astype(jnp.float32)
-    coords = jnp.clip(coords, 0.0, num_time - 1.0)
-
-    lo = jnp.floor(coords).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, num_time - 1)
-    frac = (coords - lo.astype(jnp.float32))[:, None, None].astype(audio.dtype)
-    return audio[lo] * (1.0 - frac) + audio[hi] * frac
+    src_pt = jnp.array([[0.0, v // 2]], jnp.float32).at[0, 0].set(src.astype(jnp.float32))
+    dst_pt = jnp.array([[0.0, v // 2]], jnp.float32).at[0, 0].set(dst.astype(jnp.float32))
+    return sparse_image_warp(audio, src_pt, dst_pt)
 
 
 def make_spec_augment(

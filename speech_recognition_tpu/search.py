@@ -157,9 +157,14 @@ class LASSearcher:
             tokens = jax.lax.dynamic_update_slice_in_dim(tokens, new_tok[:, :, None], step, axis=2)
             logp = cand_logp[batch_idx, beam_idx, tok_idx]
 
-            flat_idx = (batch_idx * K + beam_idx).reshape(B * K)
-            states = tuple(s[flat_idx] for s in new_states)
-            return step + 1, tokens, logp, states
+            # REFERENCE SEMANTICS: decoder states are NOT re-gathered by the
+            # selected beam ancestry — the reference's while_loop re-gathers
+            # only decoder_input and log_perplexity (search.py:166-180), so
+            # each slot's state keeps evolving from its own previous
+            # hypothesis.  The published WER numbers were produced with this
+            # behavior; beam-decode parity is pinned in
+            # tests/test_model_parity.py::test_las_beam_decode_parity.
+            return step + 1, tokens, logp, new_states
 
         carry = (jnp.int32(2), tokens, log_perplexity, states_t)
         _, tokens, logp, _ = jax.lax.while_loop(cond, body, carry)

@@ -172,6 +172,26 @@ def test_las_greedy_decode_parity(las_pair):
     np.testing.assert_allclose(np.asarray(our_ppl), ref_ppl.numpy(), rtol=1e-3)
 
 
+def test_las_beam_decode_parity(las_pair):
+    """Beam search must agree with the reference on the TOP beam's tokens
+    (same scoring: cumulative logP x ((1+len)/(1+beta))^alpha)."""
+    from speech_recognition.search import LAS_Searcher as RefSearcher
+
+    from speech_recognition_tpu.search import LASSearcher
+
+    ref, ours, variables = las_pair
+    rng = np.random.default_rng(6)
+    audio = _random_features(rng, 2, 24, lengths=[24, 18])
+
+    ref_searcher = RefSearcher(ref, 8, bos_id=1, eos_id=2, pad_id=0)
+    ref_tokens, ref_ppl = ref_searcher.beam_search(tf.constant(audio), beam_size=3)
+    our_searcher = LASSearcher(ours, variables, 8, bos_id=1, eos_id=2, pad_id=0)
+    our_tokens, our_ppl = our_searcher.beam_search(jnp.asarray(audio), beam_size=3)
+
+    np.testing.assert_array_equal(np.asarray(our_tokens)[:, 0, :], ref_tokens.numpy()[:, 0, :])
+    np.testing.assert_allclose(np.asarray(our_ppl)[:, 0], ref_ppl.numpy()[:, 0], rtol=1e-3)
+
+
 def test_ds_logits_parity(ds_pair):
     ref, ours, variables = ds_pair
     rng = np.random.default_rng(3)

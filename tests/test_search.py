@@ -103,6 +103,56 @@ def test_ctc_beam_beats_greedy_on_merged_paths():
     np.testing.assert_allclose(float(jnp.exp(b_logp)[0, 0]), 0.4025, rtol=1e-5)
 
 
+def test_ctc_beam_matches_tf_oracle_on_confident_logits():
+    """Our device-side prefix beam must agree with tf.nn.ctc_beam_search_decoder
+    on well-separated (confident) logits.  On near-uniform logits the two
+    algorithms legitimately diverge (different pruning/merging of prefixes);
+    the reference used the TF CPU kernel (search.py:279-281)."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")
+
+    from speech_recognition_tpu.search import ctc_beam_decode
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    B, T, V, blank = 3, 12, 8, 0
+    # confident logits along a repeat-free, blank-free path, so the collapsed
+    # answer is unambiguous and both algorithms must return exactly it
+    path = np.zeros((B, T), np.int64)
+    for b in range(B):
+        path[b, 0] = rng.integers(1, V)
+        for t in range(1, T):
+            choices = [v for v in range(1, V) if v != path[b, t - 1]]
+            path[b, t] = rng.choice(choices)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 0.1
+    for b in range(B):
+        logits[b, np.arange(T), path[b]] += 8.0
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits))
+
+    tokens, _ = ctc_beam_decode(log_probs, blank_index=blank, beam_size=4)
+    ours = np.asarray(tokens)[:, 0, :]
+
+    # TF convention: blank must be the LAST class (reference search.py:269-273)
+    remapped = np.concatenate([logits[..., 1:], logits[..., :1]], axis=-1)
+    decoded, _ = tf.nn.ctc_beam_search_decoder(
+        tf.constant(np.transpose(remapped, (1, 0, 2))),
+        tf.fill([B], T),
+        beam_width=4,
+        top_paths=1,
+    )
+    theirs = tf.sparse.to_dense(decoded[0]).numpy() + 1  # undo the remap
+
+    width = max(ours.shape[1], theirs.shape[1])
+    a = np.zeros((B, width), np.int64)
+    o = np.zeros((B, width), np.int64)
+    a[:, : theirs.shape[1]] = theirs
+    o[:, : ours.shape[1]] = ours
+    np.testing.assert_array_equal(o, a)
+
+
 def test_deepspeech_searcher_end_to_end_shapes():
     rng = jax.random.PRNGKey(3)
     blank = 33
