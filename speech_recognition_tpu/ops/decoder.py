@@ -89,7 +89,7 @@ def _decoder_fwd_core(
             c = m * c_p + (1.0 - m) * c
             x = h_p * m
         hidden = x * out_mask
-        saved = (hidden, h_start, q, probs, ctx, tuple(x_ins), tuple(h_recs), tuple(c_ins), tuple(gates), tuple(c_ps))
+        saved = (hidden, h_start, q, probs, tuple(x_ins), tuple(h_recs), tuple(c_ins), tuple(gates), tuple(c_ps))
         return (h, c), saved
 
     return jax.lax.scan(body, (h0, c0), (emb, token_mask))
@@ -104,6 +104,7 @@ def _decoder_fwd(
         cell_masks, out_mask, h0, c0,
     )
     hidden = saved[0]
+    # residual streams: h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps
     residuals = (token_mask, pk, value, qw, kernels, rkernels, cell_masks, out_mask) + saved[1:]
     return (hidden, h_last, c_last), residuals
 
@@ -111,10 +112,11 @@ def _decoder_fwd(
 def _decoder_bwd(residuals, cotangents):
     (
         token_mask, pk, value, qw, kernels, rkernels, cell_masks, out_mask,
-        h_start, q, probs, ctx, x_ins, h_recs, c_ins, gates, c_ps,
+        h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps,
     ) = residuals
     dhidden, dh_last, dc_last = cotangents
     n_cells = len(kernels)
+    ctx_dim = value.shape[-1]
     qw_T = qw.T
     k_T = tuple(k.T for k in kernels)
     r_T = tuple(r.T for r in rkernels)
@@ -154,8 +156,8 @@ def _decoder_bwd(residuals, cotangents):
                 dxout = (dz @ k_T[i]) * cell_masks[i]
             else:
                 dx0 = (dz @ k_T[0]) * cell_masks[0]
-                demb_t = dx0[:, : dx0.shape[1] - ctx.shape[-1]]
-                dctx_t = dx0[:, dx0.shape[1] - ctx.shape[-1] :]
+                demb_t = dx0[:, : dx0.shape[1] - ctx_dim]
+                dctx_t = dx0[:, dx0.shape[1] - ctx_dim :]
                 # attention backward (softmax VJP); weight grads hoisted
                 dprobs = jnp.einsum("bd,bsd->bs", dctx_t, value)
                 dscores_t = probs_t * (dprobs - jnp.sum(probs_t * dprobs, axis=-1, keepdims=True))
