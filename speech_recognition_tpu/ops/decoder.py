@@ -22,10 +22,18 @@ XLA autodiff is tested in tests/models/test_las.py.
 """
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _unroll() -> int:
+    """Scan unroll for the decoder forward/backward (several small dependent
+    matmuls per body).  Swept on v5e with the custom VJP: 1 -> 44.0 ms/step,
+    4 -> 42.0, 8 -> 45.2 on the LAS-small B=128 bench."""
+    return int(os.environ.get("SRT_DEC_UNROLL", 4)) if jax.default_backend() == "tpu" else 1
 
 
 def _lstm_gates(z):
@@ -92,7 +100,7 @@ def _decoder_fwd_core(
         saved = (hidden, h_start, q, probs, tuple(x_ins), tuple(h_recs), tuple(c_ins), tuple(gates), tuple(c_ps))
         return (h, c), saved
 
-    return jax.lax.scan(body, (h0, c0), (emb, token_mask))
+    return jax.lax.scan(body, (h0, c0), (emb, token_mask), unroll=_unroll())
 
 
 def _decoder_fwd(
@@ -171,6 +179,7 @@ def _decoder_bwd(residuals, cotangents):
         (dh_last, dc_last),
         (dhidden, token_mask, h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps),
         reverse=True,
+        unroll=_unroll(),
     )
 
     # ------------------------------------------------ hoisted weight grads
