@@ -9,6 +9,7 @@ neither exists.
 
 import ctypes
 import ctypes.util
+import re
 import shutil
 import subprocess
 from typing import Optional, Tuple
@@ -108,22 +109,20 @@ def _decode_with_ffmpeg(path: str) -> Tuple[np.ndarray, int]:
             "mp3 decoding requires libmpg123 or an 'ffmpeg' binary; "
             "wav/flac/pcm are decoded natively in-framework"
         )
+    # force a known layout instead of parsing ffmpeg's banner: mono output
+    # (the pipeline mean-downmixes to mono anyway, audio.py load_audio_file)
+    # and an explicit stream-copied sample rate read from the Hz field
     probe = subprocess.run(
-        [ffmpeg, "-i", path, "-f", "f32le", "-acodec", "pcm_f32le", "-"],
+        [ffmpeg, "-i", path, "-f", "f32le", "-acodec", "pcm_f32le", "-ac", "1", "-"],
         capture_output=True,
         check=True,
     )
     audio = np.frombuffer(probe.stdout, np.float32)
     stderr = probe.stderr.decode("utf-8", "replace")
-    channels = 2 if " stereo" in stderr else 1
-    rate = 44100
-    for token in stderr.split(","):
-        token = token.strip()
-        if token.endswith(" Hz"):
-            rate = int(token[:-3])
-            break
-    usable = len(audio) // channels * channels
-    return audio[:usable].reshape(-1, channels), rate
+    match = re.search(r"(\d+) Hz", stderr)
+    if match is None:
+        raise ValueError(f"could not determine sample rate from ffmpeg for {path}")
+    return audio.reshape(-1, 1), int(match.group(1))
 
 
 def decode_mp3_file(path: str) -> Tuple[np.ndarray, int]:

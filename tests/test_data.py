@@ -171,6 +171,36 @@ def test_mp3_decode():
     np.testing.assert_allclose(audio, wav, atol=1e-2)  # lossy codec tolerance
 
 
+def test_mp3_ffmpeg_fallback_parses_rate(monkeypatch):
+    """The ffmpeg fallback forces mono output and reads the rate from the
+    'NNN Hz' stderr field instead of guessing (no ffmpeg binary needed)."""
+    import subprocess
+    import types
+
+    from speech_recognition_tpu.data import mp3 as mp3_mod
+
+    payload = np.arange(8, dtype=np.float32).tobytes()
+    banner = b"Stream #0:0: Audio: mp3, 22050 Hz, stereo, fltp, 128 kb/s"
+
+    monkeypatch.setattr(mp3_mod.shutil, "which", lambda name: "/usr/bin/ffmpeg")
+    monkeypatch.setattr(
+        mp3_mod.subprocess,
+        "run",
+        lambda cmd, capture_output, check: types.SimpleNamespace(stdout=payload, stderr=banner),
+    )
+    audio, rate = mp3_mod._decode_with_ffmpeg("x.mp3")
+    assert rate == 22050 and audio.shape == (8, 1)
+    np.testing.assert_array_equal(audio[:, 0], np.arange(8, dtype=np.float32))
+
+    monkeypatch.setattr(
+        mp3_mod.subprocess,
+        "run",
+        lambda cmd, capture_output, check: types.SimpleNamespace(stdout=payload, stderr=b"no rate here"),
+    )
+    with pytest.raises(ValueError, match="sample rate"):
+        mp3_mod._decode_with_ffmpeg("x.mp3")
+
+
 def test_bucket_batch():
     from speech_recognition_tpu.data.dataset import bucket_batch
 
