@@ -21,9 +21,7 @@ constant dropout masks); equivalence of outputs and all gradients against
 XLA autodiff is tested in tests/models/test_las.py.
 """
 
-import functools
 import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

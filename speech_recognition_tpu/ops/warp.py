@@ -17,8 +17,6 @@ tests/test_spec_augment_warp.py.  Everything is static-shaped and jittable:
 one (n+3) x (n+3) solve per image plus a [H*W, n] phi evaluation.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
