@@ -7,13 +7,20 @@ scan accumulates EVERY weight gradient (cell kernels, recurrent kernels,
 query projection, projected keys, attention values) with matmuls inside each
 sequential backward step.  This implementation's backward scan computes only
 the per-step data grads (gate math + the dh chain + attention softmax VJP)
-and emits the small per-step streams (dz per cell, dq, dscores, dctx);
-every weight gradient is then ONE post-scan einsum over the saved
-trajectories:
+and emits ONLY the per-cell pre-activation grads ``dz``; every weight
+gradient is then ONE post-scan einsum over the saved trajectories:
 
     dK_i  = sum_t x_in_i^T dz_i          dR_i = sum_t h_rec_i^T dz_i
     dqw   = sum_t h_start^T dq           dpk  = sum_t dscores_t (x) q_t
     dvalue= sum_t probs_t (x) dctx_t
+
+Residuals are minimal: the forward scan emits per step only the threaded
+state ``h_start``/``c_in0`` and each cell's pre-activation ``z`` and
+candidate cell state ``c_p``.  Everything else the backward needs — the
+query/score/prob/context trajectories, each cell's input ``x_in`` and
+recurrent-entry ``h_rec`` — is recomputed OUTSIDE the sequential loops as
+large batched MXU einsums / elementwise passes, so the scans carry ~40%
+fewer per-step HBM streams (measured win on the v5e bench; PERF.md).
 
 Semantics are IDENTICAL to the scan in models/las.py (same state threading
 through the cell stack — reference las.py:285-288 — same pad gating, same
@@ -63,39 +70,54 @@ def decoder_scan_lstm(
     return hidden, h_last, c_last
 
 
+def _use_pallas_decoder(emb, pk, value, kernels) -> bool:
+    if os.environ.get("SRT_PALLAS_DECODER", "0") != "1":
+        return False
+    from .pallas.decoder_kernel import decoder_pallas_supported
+
+    return decoder_pallas_supported(emb, pk, value, kernels)
+
+
 def _decoder_fwd_core(
     emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels, biases,
     cell_masks, out_mask, h0, c0,
 ):
+    if _use_pallas_decoder(emb, pk, value, kernels):
+        # Pallas mega-kernel: pk/value stay VMEM-resident across all steps
+        # instead of streaming ~50 MB from HBM per step (PERF.md headroom)
+        from .pallas.decoder_kernel import decoder_fwd_pallas
+
+        return decoder_fwd_pallas(
+            emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels,
+            biases, cell_masks, out_mask, h0, c0,
+        )
     n_cells = len(kernels)
 
     def body(carry, inp):
         h, c = carry
         emb_t, m = inp
         h_start = h
+        c_in0 = c
         q = h @ qw + qb
         scores = jnp.einsum("bh,bsh->bs", q, pk) + attn_bias
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bs,bsd->bd", probs, value)
         x = jnp.concatenate([emb_t, ctx], axis=-1)
 
-        x_ins, h_recs, c_ins, gates, c_ps = [], [], [], [], []
+        zs, c_ps = [], []
         for i in range(n_cells):
             x_in = x * cell_masks[i]
             z = x_in @ kernels[i] + biases[i] + h @ rkernels[i]
             gi, gf, gg, go = _lstm_gates(z)
             c_p = gf * c + gi * gg
             h_p = go * jnp.tanh(c_p)
-            x_ins.append(x_in)
-            h_recs.append(h)
-            c_ins.append(c)
-            gates.append((gi, gf, gg, go))
+            zs.append(z)
             c_ps.append(c_p)
             h = m * h_p + (1.0 - m) * h
             c = m * c_p + (1.0 - m) * c
             x = h_p * m
         hidden = x * out_mask
-        saved = (hidden, h_start, q, probs, tuple(x_ins), tuple(h_recs), tuple(c_ins), tuple(gates), tuple(c_ps))
+        saved = (hidden, h_start, c_in0, tuple(zs), tuple(c_ps))
         return (h, c), saved
 
     return jax.lax.scan(body, (h0, c0), (emb, token_mask), unroll=_unroll())
@@ -109,34 +131,65 @@ def _decoder_fwd(
         emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels, biases,
         cell_masks, out_mask, h0, c0,
     )
-    hidden = saved[0]
-    # residual streams: h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps
-    residuals = (token_mask, pk, value, qw, kernels, rkernels, cell_masks, out_mask) + saved[1:]
+    hidden, h_start, c_in0, zs, c_ps = saved
+    residuals = (
+        emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels,
+        cell_masks, out_mask, h_start, c_in0, zs, c_ps,
+    )
     return (hidden, h_last, c_last), residuals
 
 
 def _decoder_bwd(residuals, cotangents):
     (
-        token_mask, pk, value, qw, kernels, rkernels, cell_masks, out_mask,
-        h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps,
+        emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels,
+        cell_masks, out_mask, h_start, c_in0, zs, c_ps,
     ) = residuals
     dhidden, dh_last, dc_last = cotangents
     n_cells = len(kernels)
-    ctx_dim = value.shape[-1]
+    He = emb.shape[-1]
     qw_T = qw.T
     k_T = tuple(k.T for k in kernels)
     r_T = tuple(r.T for r in rkernels)
 
+    # ---- recompute the attention trajectory outside the scans: one batched
+    # MXU einsum each instead of a 16-33 MB HBM stream through both loops
+    q = h_start @ qw + qb  # true q: feeds dpk directly, not just the softmax
+    scores = jnp.einsum("nbh,bsh->nbs", q, pk) + attn_bias[None]
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    use_pallas = (
+        _use_pallas_decoder(emb, pk, value, kernels)
+        and os.environ.get("SRT_PALLAS_DECODER_BWD", "1") == "1"
+    )
+    if use_pallas:
+        # Pallas reverse-loop kernel: pk/value VMEM-resident for the
+        # attention VJP instead of 50 MB/step of HBM streaming
+        from .pallas.decoder_kernel import decoder_bwd_pallas
+
+        dh0, dc0, dzs, demb, dctx, dscores, dq = decoder_bwd_pallas(
+            dhidden, dh_last, dc_last, token_mask, probs, c_in0, pk, value,
+            qw, kernels, rkernels, cell_masks, out_mask, zs, c_ps, He,
+        )
+        return _decoder_bwd_tail(
+            emb, token_mask, pk, value, qw, kernels, cell_masks, out_mask,
+            h_start, zs, c_ps, q, probs, dzs, demb, dctx, dscores, dq, dh0, dc0,
+        )
+
     def body(carry, inp):
         dh, dc = carry
-        dhidden_t, m, hstart_t, q_t, probs_t, xin_t, hrec_t, cin_t, gate_t, cp_t = inp
+        dhidden_t, m, probs_t, cin0_t, z_t, cp_t = inp
+
+        # reconstruct each cell's entering c from the single saved stream
+        cins = [cin0_t]
+        for i in range(1, n_cells):
+            cins.append(m * cp_t[i - 1] + (1.0 - m) * cins[i - 1])
 
         dzs = [None] * n_cells
         # x emitted by the LAST cell feeds the output (after out_mask)
         dxout = dhidden_t * out_mask
         dh_cur, dc_cur = dh, dc
         for i in range(n_cells - 1, -1, -1):
-            gi, gf, gg, go = gate_t[i]
+            gi, gf, gg, go = _lstm_gates(z_t[i])
             tanh_cp = jnp.tanh(cp_t[i])
             dh_p = m * dh_cur + m * dxout
             dh_prev = (1.0 - m) * dh_cur
@@ -144,7 +197,7 @@ def _decoder_bwd(residuals, cotangents):
             dc_prev = (1.0 - m) * dc_cur
             do = dh_p * tanh_cp
             dc_p = dc_p + dh_p * go * (1.0 - tanh_cp * tanh_cp)
-            df = dc_p * cin_t[i]
+            df = dc_p * cins[i]
             dc_prev = dc_prev + dc_p * gf
             di = dc_p * gg
             dg = dc_p * gi
@@ -162,32 +215,75 @@ def _decoder_bwd(residuals, cotangents):
                 dxout = (dz @ k_T[i]) * cell_masks[i]
             else:
                 dx0 = (dz @ k_T[0]) * cell_masks[0]
-                demb_t = dx0[:, : dx0.shape[1] - ctx_dim]
-                dctx_t = dx0[:, dx0.shape[1] - ctx_dim :]
-                # attention backward (softmax VJP); weight grads hoisted
+                dctx_t = dx0[:, He:]
+                # attention backward (softmax VJP) — only the dh chain is
+                # computed here; dpk/dvalue/dqw come from post-scan einsums
                 dprobs = jnp.einsum("bd,bsd->bs", dctx_t, value)
                 dscores_t = probs_t * (dprobs - jnp.sum(probs_t * dprobs, axis=-1, keepdims=True))
                 dq_t = jnp.einsum("bs,bsh->bh", dscores_t, pk)
                 dh_prev = dh_prev + dq_t @ qw_T
                 carry_out = (dh_prev, dc_prev)
-        return carry_out, (tuple(dzs), dq_t, dscores_t, dctx_t, demb_t)
+        return carry_out, tuple(dzs)
 
-    (dh0, dc0), (dzs, dq, dscores, dctx, demb) = jax.lax.scan(
+    (dh0, dc0), dzs = jax.lax.scan(
         body,
         (dh_last, dc_last),
-        (dhidden, token_mask, h_start, q, probs, x_ins, h_recs, c_ins, gates, c_ps),
+        (dhidden, token_mask, probs, c_in0, zs, c_ps),
         reverse=True,
         unroll=_unroll(),
     )
 
+    # ------------------------------------------------ hoisted trajectories
+    # (recomputed from the minimal residual streams; all elementwise or MXU)
+    dz0 = dzs[0]
+    dx0 = (dz0 @ k_T[0]) * cell_masks[0][None]
+    demb = dx0[..., :He]
+    dctx = dx0[..., He:]
+    dprobs = jnp.einsum("nbd,bsd->nbs", dctx, value)
+    dscores = probs * (dprobs - jnp.sum(probs * dprobs, axis=-1, keepdims=True))
+    dq = jnp.einsum("nbs,bsh->nbh", dscores, pk)
+    return _decoder_bwd_tail(
+        emb, token_mask, pk, value, qw, kernels, cell_masks, out_mask,
+        h_start, zs, c_ps, q, probs, dzs, demb, dctx, dscores, dq, dh0, dc0,
+    )
+
+
+def _decoder_bwd_tail(
+    emb, token_mask, pk, value, qw, kernels, cell_masks, out_mask,
+    h_start, zs, c_ps, q, probs, dzs, demb, dctx, dscores, dq, dh0, dc0,
+):
+    """Post-scan weight-gradient einsums shared by the XLA and Pallas
+    backward paths: every dW is one large batched MXU contraction over the
+    per-step streams (never inside the sequential loop)."""
+    n_cells = len(kernels)
+    He = emb.shape[-1]
+    dz0 = dzs[0]
+    ctx = jnp.einsum("nbs,bsd->nbd", probs, value)
+
     # ------------------------------------------------ hoisted weight grads
-    dkernels = tuple(jnp.einsum("tbx,tbz->xz", x_ins[i], dzs[i]) for i in range(n_cells))
-    drkernels = tuple(jnp.einsum("tbh,tbz->hz", h_recs[i], dzs[i]) for i in range(n_cells))
+    cm0 = cell_masks[0]
+    dk0 = jnp.concatenate(
+        [
+            jnp.einsum("nbx,nbz->xz", emb * cm0[None, :, :He], dz0),
+            jnp.einsum("nbd,nbz->dz", ctx * cm0[None, :, He:], dz0),
+        ],
+        axis=0,
+    )
+    dkernels = [dk0]
+    drkernels = [jnp.einsum("nbh,nbz->hz", h_start, dz0)]
+    h_rec = h_start
+    for i in range(1, n_cells):
+        zo_prev = zs[i - 1][..., 3 * (zs[i - 1].shape[-1] // 4):]
+        h_p_prev = jax.nn.sigmoid(zo_prev) * jnp.tanh(c_ps[i - 1])
+        x_i = h_p_prev * token_mask
+        h_rec = token_mask * h_p_prev + (1.0 - token_mask) * h_rec
+        dkernels.append(jnp.einsum("nbh,nbz->hz", x_i * cell_masks[i][None], dzs[i]))
+        drkernels.append(jnp.einsum("nbh,nbz->hz", h_rec, dzs[i]))
     dbiases = tuple(jnp.sum(dzs[i], axis=(0, 1)) for i in range(n_cells))
-    dqw = jnp.einsum("tbh,tbq->hq", h_start, dq)
+    dqw = jnp.einsum("nbh,nbq->hq", h_start, dq)
     dqb = jnp.sum(dq, axis=(0, 1))
-    dpk = jnp.einsum("tbs,tbh->bsh", dscores, q)
-    dvalue = jnp.einsum("tbs,tbd->bsd", probs, dctx)
+    dpk = jnp.einsum("nbs,nbh->bsh", dscores, q)
+    dvalue = jnp.einsum("nbs,nbd->bsd", probs, dctx)
     dattn_bias = jnp.sum(dscores, axis=0)
     dcell_masks = tuple(jnp.zeros_like(cm) for cm in cell_masks)
     dout_mask = jnp.zeros_like(out_mask)
@@ -195,7 +291,7 @@ def _decoder_bwd(residuals, cotangents):
 
     return (
         demb, dtoken_mask, dpk, dvalue, dattn_bias, dqw, dqb,
-        dkernels, drkernels, dbiases, dcell_masks, dout_mask, dh0, dc0,
+        tuple(dkernels), tuple(drkernels), dbiases, dcell_masks, dout_mask, dh0, dc0,
     )
 
 
