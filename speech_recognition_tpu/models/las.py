@@ -458,11 +458,29 @@ class LAS(ModelProto):
                     in_dim = H
                 tok_mask = (tokens_t != aas.pad_id)[:, :, None].astype(mdl.dtype)
                 attn_bias = -1e9 * (1.0 - attention_mask.astype(mdl.dtype))
+                pk_in = projected_keys.astype(mdl.dtype)
+                val_in = audio_output.astype(mdl.dtype)
+                emb_t = jnp.swapaxes(emb_all, 0, 1)
+                from ..ops.decoder import _use_pallas_decoder
+
+                if _use_pallas_decoder(emb_t, pk_in, val_in, kernels):
+                    # pad the attention length ONCE here (autodiff slices the
+                    # grads back through jnp.pad) so neither Pallas kernel
+                    # copies the 50 MB pk/value operands again per call;
+                    # padded keys get -1e9 bias => exactly zero probability
+                    S = pk_in.shape[1]
+                    S_pad = -(-S // 64) * 64
+                    if S_pad != S:
+                        pk_in = jnp.pad(pk_in, ((0, 0), (0, S_pad - S), (0, 0)))
+                        val_in = jnp.pad(val_in, ((0, 0), (0, S_pad - S), (0, 0)))
+                        attn_bias = jnp.pad(
+                            attn_bias, ((0, 0), (0, S_pad - S)), constant_values=-1e9
+                        )
                 hiddens, _, _ = decoder_scan_lstm(
-                    jnp.swapaxes(emb_all, 0, 1),
+                    emb_t,
                     tok_mask,
-                    projected_keys.astype(mdl.dtype),
-                    audio_output.astype(mdl.dtype),
+                    pk_in,
+                    val_in,
                     attn_bias,
                     qw,
                     qb,

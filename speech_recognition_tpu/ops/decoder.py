@@ -71,7 +71,14 @@ def decoder_scan_lstm(
 
 
 def _use_pallas_decoder(emb, pk, value, kernels) -> bool:
-    if os.environ.get("SRT_PALLAS_DECODER", "0") != "1":
+    if os.environ.get("SRT_PALLAS_DECODER", "1") != "1":
+        return False
+    import jax
+
+    # the mega-kernel is not partition-aware: under a multi-device mesh the
+    # batch axis is sharded and pallas_call would force replication — keep
+    # the (identical-math) XLA scan path there until a shard_map port lands
+    if jax.device_count() != 1:
         return False
     from .pallas.decoder_kernel import decoder_pallas_supported
 

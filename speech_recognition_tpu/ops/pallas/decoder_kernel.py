@@ -13,9 +13,10 @@ is 128 MB).  Per-step traffic drops to the small residual streams.
 The two batched matvecs (scores = q·pk per example, ctx = probs·value per
 example) cannot use the MXU — Mosaic only lowers 2-D dots, and an M=1 dot
 per example wastes the systolic array — so they run as chunked
-broadcast-multiply + sublane-axis reductions on the VPU with f32
-accumulation.  pk is passed pre-transposed as [B,H,S] so the scores
-reduction is over sublanes (cheap) rather than lanes.
+broadcast-multiply + axis reductions on the VPU with f32 accumulation,
+over the NATURAL [B,S,H] key layout: a pre-transposed [B,H,S] layout
+makes the scores reduction a sublane reduce but costs a 17 MB relayout
+outside the kernel every call, which measured slower end-to-end.
 
 The emitted streams are exactly the minimal residual set of the custom-VJP
 scan in ops/decoder.py (hidden, h_start, c_in0, per-cell z and c_p), so
@@ -57,7 +58,7 @@ def decoder_pallas_supported(emb, pk, value, kernels) -> bool:
 def _fwd_kernel(n_cells, n_steps, chunk, refs):
     n_in = 7 + 4 * n_cells + 3
     (
-        emb_ref, mask_ref, pkT_ref, value_ref, bias_ref, qw_ref, qb_ref,
+        emb_ref, mask_ref, pk_ref, value_ref, bias_ref, qw_ref, qb_ref,
         *cell_refs,
     ) = refs[:n_in]
     cell_refs, tail = cell_refs[: 4 * n_cells], cell_refs[4 * n_cells:]
@@ -91,12 +92,17 @@ def _fwd_kernel(n_cells, n_steps, chunk, refs):
     # ---------------------------------------------------------- attention
     h_bf = h.astype(jnp.bfloat16)
     q = jnp.dot(h_bf, qw_ref[:], preferred_element_type=jnp.float32) + qb_ref[:].astype(jnp.float32)
-    # chunked VPU batched-matvec; the broadcast scalar stays f32 (Mosaic
-    # only supports minor-dim insertion for 32-bit types), products promote
-    scores = jnp.zeros((B, S), jnp.float32)
-    for hc in range(0, H, chunk):
-        q_chunk = jnp.expand_dims(jax.lax.slice_in_dim(q, hc, hc + chunk, axis=1), 2)
-        scores = scores + jnp.sum(q_chunk * pkT_ref[:, hc:hc + chunk, :], axis=1)
+    # chunked VPU batched-matvec over the natural [B,S,H] key layout (no
+    # 17 MB relayout outside the kernel); the broadcast scalar stays f32
+    # (Mosaic only supports minor-dim insertion for 32-bit types)
+    q3 = jnp.expand_dims(q, 1)  # [B,1,H]
+    scores = jnp.concatenate(
+        [
+            jnp.sum(q3 * pk_ref[:, sc:sc + chunk, :], axis=2)
+            for sc in range(0, S, chunk)
+        ],
+        axis=1,
+    )
     scores = scores + bias_ref[:]
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.zeros((B, Dv), jnp.float32)
@@ -163,7 +169,6 @@ def decoder_fwd_pallas(
         attn_bias = jnp.pad(attn_bias, ((0, 0), (0, S_pad - S)), constant_values=-1e9)
         S = S_pad
 
-    pkT = jnp.swapaxes(pk, 1, 2)  # [B,H,S]: scores reduce over sublanes
     mask_rep = jnp.broadcast_to(token_mask.astype(bf), (N, B, H))  # lane-replicated
 
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
@@ -172,14 +177,14 @@ def decoder_fwd_pallas(
     in_specs = [
         step3(He),            # emb
         step3(H),             # mask (lane-replicated)
-        const(B, H, S),       # pkT
+        const(B, S, H),       # pk (natural layout)
         const(B, S, Dv),      # value
         const(B, S),          # attn_bias (f32)
         const(H, H),          # qw
         const(1, H),          # qb
     ]
     operands = [
-        emb, mask_rep, pkT, value, attn_bias.astype(jnp.float32),
+        emb, mask_rep, pk, value, attn_bias.astype(jnp.float32),
         qw, qb.reshape(1, H),
     ]
     in_dim = He + Dv
