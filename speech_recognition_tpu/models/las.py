@@ -379,8 +379,18 @@ class LAS(ModelProto):
             audio_output, projected_keys, decoder_input, attention_mask, states
         )
 
-    def __call__(self, inputs: Tuple, training: bool = False):
-        """(audio [B,T,F,C] | (audio, frame_lengths), decoder_input [B,N]) -> logits [B,N,V]."""
+    # the train/eval steps may ask for time-major [N,B,V] logits to skip a
+    # pair of 0.5 GB [*,16000] transposes per step (fwd + its VJP twin)
+    logits_time_major_supported = True
+
+    def __call__(self, inputs: Tuple, training: bool = False, time_major_logits: bool = False):
+        """(audio [B,T,F,C] | (audio, frame_lengths), decoder_input [B,N]) -> logits.
+
+        Returns [B,N,V] (reference layout, las.py:379) or — with
+        ``time_major_logits`` — the scan-native [N,B,V], which the loss and
+        metrics consume layout-agnostically (the vocab-space transpose and
+        its backward twin move ~1 GB/step at bench shapes).
+        """
         audio_input, decoder_input = inputs
         audio_input, frame_lengths = split_audio_lengths(audio_input)
         B, N = decoder_input.shape
@@ -411,8 +421,11 @@ class LAS(ModelProto):
             )
 
         # step 0 outside the scan (primes submodule parameters; first token is
-        # always the given input, reference las.py:369)
-        logits0, states = self.attend_and_speller.step(
+        # always the given input, reference las.py:369).  Only the hidden
+        # state is kept: all positions go through ONE vocab projection at the
+        # end, so the step-0/rest concat happens in [*,H] instead of [*,V]
+        # (a [N,B,16000] concat + its backward slice move ~1 GB/step).
+        hidden0, states = self.attend_and_speller.step_hidden(
             audio_output, projected_keys, decoder_input[:, 0], attention_mask, states, dropout_masks
         )
 
@@ -492,7 +505,7 @@ class LAS(ModelProto):
                     states[0].astype(mdl.dtype),
                     states[1].astype(mdl.dtype),
                 )
-                return aas.feedforward(hiddens)
+                return hiddens
 
             def body(states, tok_t):
                 hidden, new_states = aas.step_hidden(
@@ -501,28 +514,36 @@ class LAS(ModelProto):
                 return new_states, hidden
 
             _, hiddens = jax.lax.scan(body, states, tokens_t, unroll=_decoder_unroll())
-            return aas.feedforward(hiddens)  # one [N-1,B,H]x[H,V]
+            return hiddens
 
         def feedback(mdl, states):
+            aas = mdl.attend_and_speller
+
             def body(carry, tok_t):
                 states, prev_logits = carry
                 tok = jnp.argmax(prev_logits, axis=-1).astype(jnp.int32)
-                logits, new_states = mdl.attend_and_speller.step(
+                hidden, new_states = aas.step_hidden(
                     audio_output, projected_keys, tok, attention_mask, states, dropout_masks
                 )
-                return (new_states, logits), logits
+                # the vocab projection lives inside this branch only for the
+                # argmax feedback; the emitted stream stays in hidden space
+                return (new_states, aas.feedforward(hidden)), hidden
 
-            (_, _), rest = jax.lax.scan(body, (states, logits0), tokens_t, unroll=_decoder_unroll())
+            (_, _), rest = jax.lax.scan(
+                body, (states, aas.feedforward(hidden0)), tokens_t, unroll=_decoder_unroll()
+            )
             return rest
 
         if N <= 1:
-            logits = logits0[None]
+            hiddens_all = hidden0[None]
         elif use_teacher_forcing is None:
-            logits = jnp.concatenate([logits0[None], teacher_forced(self, states)], axis=0)
+            hiddens_all = jnp.concatenate([hidden0[None], teacher_forced(self, states)], axis=0)
         else:
             rest = nn.cond(use_teacher_forcing, teacher_forced, feedback, self, states)
-            logits = jnp.concatenate([logits0[None], rest], axis=0)  # [N, B, V]
-        return jnp.swapaxes(logits, 0, 1)
+            hiddens_all = jnp.concatenate([hidden0[None], rest], axis=0)  # [N, B, H]
+        # ONE [N*B,H] x [H,V] MXU matmul for every position incl. step 0
+        logits = self.attend_and_speller.feedforward(hiddens_all)
+        return logits if time_major_logits else jnp.swapaxes(logits, 0, 1)
 
     # ----------------------------------------------------------------- plumbing
     def get_loss_fn(self):

@@ -55,6 +55,12 @@ def make_train_step(
     into the step, no gradient through it).
     """
 
+    # LAS can emit scan-native time-major [N,B,V] logits, skipping two
+    # 0.5 GB vocab-space transposes per step (fwd + VJP); the loss/metric
+    # fns are layout-agnostic, so only y_true needs the (tiny) transpose.
+    time_major = bool(getattr(model, "logits_time_major_supported", False))
+    apply_kwargs = {"time_major_logits": True} if time_major else {}
+
     def train_step(state: TrainState, model_input, y_true, rng):
         rng_names = ["dropout", "frontend"] + (
             ["teacher_forcing"] if needs_teacher_forcing_rng else []
@@ -63,17 +69,20 @@ def make_train_step(
         front_rng = rngs.pop("frontend")
         if preprocess is not None:
             model_input = jax.lax.stop_gradient(preprocess(model_input, front_rng))
+        if time_major:
+            y_true = jnp.swapaxes(y_true, 0, 1)
 
         def compute_loss(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 logits, updates = model.apply(
-                    variables, model_input, training=True, rngs=rngs, mutable=["batch_stats"]
+                    variables, model_input, training=True, rngs=rngs, mutable=["batch_stats"],
+                    **apply_kwargs,
                 )
                 new_batch_stats = updates.get("batch_stats", state.batch_stats)
             else:
-                logits = model.apply(variables, model_input, training=True, rngs=rngs)
+                logits = model.apply(variables, model_input, training=True, rngs=rngs, **apply_kwargs)
                 new_batch_stats = state.batch_stats
             loss = loss_fn(y_true, logits)
             return loss, (logits, new_batch_stats)
@@ -102,10 +111,15 @@ def make_train_step(
 def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional[Callable] = None) -> Callable:
     """Build the jitted eval step: (state, model_input, y_true) -> metrics."""
 
+    time_major = bool(getattr(model, "logits_time_major_supported", False))
+    apply_kwargs = {"time_major_logits": True} if time_major else {}
+
     def eval_step(state: TrainState, model_input, y_true):
         if preprocess is not None:
             model_input = preprocess(model_input, None)
-        logits = model.apply(state.variables, model_input, training=False)
+        if time_major:
+            y_true = jnp.swapaxes(y_true, 0, 1)
+        logits = model.apply(state.variables, model_input, training=False, **apply_kwargs)
         metrics = {"loss": loss_fn(y_true, logits)}
         for name, fn in metric_fns:
             correct, count = fn(y_true, logits)
