@@ -382,6 +382,25 @@ class LAS(ModelProto):
     # the train/eval steps may ask for time-major [N,B,V] logits to skip a
     # pair of 0.5 GB [*,16000] transposes per step (fwd + its VJP twin)
     logits_time_major_supported = True
+    # ...or for pre-projection hidden states, so the vocab matmul + CE can
+    # run as the fused Pallas pair (ops/pallas/ce_kernel.py) that never
+    # materializes [N,B,V] logits
+    fused_ce_supported = True
+
+    @staticmethod
+    def vocab_projection_params(params):
+        """(kernel [H,V], bias [V]) of the decoder's vocab Dense, from the
+        model's params pytree (checkpoint-stable path)."""
+        ff = params["attend_and_speller"]["feedforward"]
+        return ff["kernel"], ff["bias"]
+
+    def hidden_states(self, inputs: Tuple, training: bool = False):
+        """Forward up to (not including) the vocab projection: [N,B,H].
+
+        Same trace as ``__call__`` minus the final Dense — used by the
+        fused CE+vocab train path.
+        """
+        return self._hiddens(inputs, training)
 
     def __call__(self, inputs: Tuple, training: bool = False, time_major_logits: bool = False):
         """(audio [B,T,F,C] | (audio, frame_lengths), decoder_input [B,N]) -> logits.
@@ -391,6 +410,12 @@ class LAS(ModelProto):
         metrics consume layout-agnostically (the vocab-space transpose and
         its backward twin move ~1 GB/step at bench shapes).
         """
+        hiddens_all = self._hiddens(inputs, training)
+        # ONE [N*B,H] x [H,V] MXU matmul for every position incl. step 0
+        logits = self.attend_and_speller.feedforward(hiddens_all)
+        return logits if time_major_logits else jnp.swapaxes(logits, 0, 1)
+
+    def _hiddens(self, inputs: Tuple, training: bool = False):
         audio_input, decoder_input = inputs
         audio_input, frame_lengths = split_audio_lengths(audio_input)
         B, N = decoder_input.shape
@@ -541,9 +566,7 @@ class LAS(ModelProto):
         else:
             rest = nn.cond(use_teacher_forcing, teacher_forced, feedback, self, states)
             hiddens_all = jnp.concatenate([hidden0[None], rest], axis=0)  # [N, B, H]
-        # ONE [N*B,H] x [H,V] MXU matmul for every position incl. step 0
-        logits = self.attend_and_speller.feedforward(hiddens_all)
-        return logits if time_major_logits else jnp.swapaxes(logits, 0, 1)
+        return hiddens_all
 
     # ----------------------------------------------------------------- plumbing
     def get_loss_fn(self):

@@ -60,6 +60,7 @@ def make_train_step(
     # fns are layout-agnostic, so only y_true needs the (tiny) transpose.
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
+    fused_ce = time_major and _fused_ce_wanted(model)
 
     def train_step(state: TrainState, model_input, y_true, rng):
         rng_names = ["dropout", "frontend"] + (
@@ -74,20 +75,27 @@ def make_train_step(
 
         def compute_loss(params):
             variables = {"params": params}
+            mutable = ["batch_stats"] if state.batch_stats else False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                logits, updates = model.apply(
-                    variables, model_input, training=True, rngs=rngs, mutable=["batch_stats"],
+            if fused_ce:
+                out = model.apply(
+                    variables, model_input, training=True, rngs=rngs, mutable=mutable,
+                    method="hidden_states",
+                )
+                hid, updates = out if state.batch_stats else (out, {})
+                loss, outputs = _loss_from_hidden(model, params, hid, y_true, loss_fn)
+            else:
+                out = model.apply(
+                    variables, model_input, training=True, rngs=rngs, mutable=mutable,
                     **apply_kwargs,
                 )
-                new_batch_stats = updates.get("batch_stats", state.batch_stats)
-            else:
-                logits = model.apply(variables, model_input, training=True, rngs=rngs, **apply_kwargs)
-                new_batch_stats = state.batch_stats
-            loss = loss_fn(y_true, logits)
-            return loss, (logits, new_batch_stats)
+                outputs, updates = out if state.batch_stats else (out, {})
+                loss = loss_fn(y_true, outputs)
+            new_batch_stats = updates.get("batch_stats", state.batch_stats)
+            return loss, (outputs, new_batch_stats)
 
-        (loss, (logits, new_batch_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+        (loss, (outputs, new_batch_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
@@ -99,13 +107,52 @@ def make_train_step(
             opt_state=new_opt_state,
         )
         metrics = {"loss": loss}
-        for name, fn in metric_fns:
-            correct, count = fn(y_true, logits)
-            metrics[f"{name}_sum"] = correct
-            metrics[f"{name}_count"] = count
+        _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, getattr(model, "pad_id", 0))
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _fused_ce_wanted(model) -> bool:
+    import os
+
+    return (
+        bool(getattr(model, "fused_ce_supported", False))
+        and os.environ.get("SRT_FUSED_CE", "1") == "1"
+    )
+
+
+def _loss_from_hidden(model, params, hid, y_true, loss_fn):
+    """Loss from pre-projection hidden states: the fused Pallas CE+vocab
+    pair when supported on this device/shape, else the identical-math XLA
+    projection + loss_fn.  Returns (loss, outputs) where outputs is either
+    an int [N,B] preds array (fused) or [N,B,V] logits (fallback)."""
+    from ..ops.pallas.ce_kernel import ce_vocab_pallas_supported, fused_ce_vocab
+
+    W, b = model.vocab_projection_params(params)
+    if ce_vocab_pallas_supported(hid, W):
+        loss, preds = fused_ce_vocab(hid, W, b, y_true, model.pad_id)
+        return loss, preds
+    logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
+    return loss_fn(y_true, logits), logits
+
+
+def _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, pad_id=0):
+    """Streaming metric sums.  With the fused CE path ``outputs`` is the
+    argmax preds [N,B]; accuracy is computed from them directly (identical
+    to measure.sparse_categorical_accuracy on full logits)."""
+    if fused_ce and outputs.ndim == y_true.ndim:
+        mask = y_true != pad_id
+        for name, _fn in metric_fns:
+            metrics[f"{name}_sum"] = jnp.sum(
+                jnp.where(mask, (outputs == y_true).astype(jnp.float32), 0.0)
+            )
+            metrics[f"{name}_count"] = jnp.sum(mask.astype(jnp.float32))
+        return
+    for name, fn in metric_fns:
+        correct, count = fn(y_true, outputs)
+        metrics[f"{name}_sum"] = correct
+        metrics[f"{name}_count"] = count
 
 
 def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional[Callable] = None) -> Callable:
@@ -113,18 +160,21 @@ def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional
 
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
+    fused_ce = time_major and _fused_ce_wanted(model)
 
     def eval_step(state: TrainState, model_input, y_true):
         if preprocess is not None:
             model_input = preprocess(model_input, None)
         if time_major:
             y_true = jnp.swapaxes(y_true, 0, 1)
-        logits = model.apply(state.variables, model_input, training=False, **apply_kwargs)
-        metrics = {"loss": loss_fn(y_true, logits)}
-        for name, fn in metric_fns:
-            correct, count = fn(y_true, logits)
-            metrics[f"{name}_sum"] = correct
-            metrics[f"{name}_count"] = count
+        if fused_ce:
+            hid = model.apply(state.variables, model_input, training=False, method="hidden_states")
+            loss, outputs = _loss_from_hidden(model, state.params, hid, y_true, loss_fn)
+        else:
+            outputs = model.apply(state.variables, model_input, training=False, **apply_kwargs)
+            loss = loss_fn(y_true, outputs)
+        metrics = {"loss": loss}
+        _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, getattr(model, "pad_id", 0))
         return metrics
 
     return jax.jit(eval_step)

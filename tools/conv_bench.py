@@ -82,3 +82,86 @@ y1 = p @ w1_m
 y1_ref = jax.lax.conv_general_dilated(x0, w1, (2, 2), "VALID", dimension_numbers=dn)
 err = float(jnp.max(jnp.abs(y1.astype(jnp.float32) - y1_ref.astype(jnp.float32))))
 print("im2col-vs-xla conv1 max err:", err)
+
+
+# ---- space-to-depth variant: stride-2 3x3 VALID == stride-1 2x2 VALID over
+# 2x2-block channels with the kernel zero-padded 3->4 and regrouped.
+def _s2d(x):
+    B_, H_, W_, C_ = x.shape
+    x = x.reshape(B_, H_ // 2, 2, W_ // 2, 2, C_)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B_, H_ // 2, W_ // 2, 4 * C_)
+
+
+def _w_s2d(w):
+    kh, kw, ci, co = w.shape
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 3->4, zero tail
+    wp = wp.reshape(2, 2, 2, 2, ci, co)  # (dp, a0, dq, b0, ci, co)
+    return wp.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * ci, co)
+
+
+def conv_s2d_one(x, w):
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        x = jnp.pad(x, ((0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, 0)))
+    x2 = _s2d(x)
+    w2 = _w_s2d(w)
+    dn2 = jax.lax.conv_dimension_numbers(x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x2, w2, (1, 1), "VALID", dimension_numbers=dn2)
+
+
+def conv_s2d(x, w1_, w2_):
+    return conv_s2d_one(conv_s2d_one(x, w1_), w2_)
+
+
+y_s2d = np.asarray(conv_s2d(x0, w1, w2), np.float32)
+print("s2d-vs-xla max err:", float(np.max(np.abs(y_s2d - y_ref))), "shape", y_s2d.shape)
+time_chain("s2d fwd           ", conv_s2d)
+time_chain("s2d fwd+bwd       ", conv_s2d, grad=True)
+
+
+# ---- hybrid custom-VJP: im2col forward + dW as one patches-matmul + dx via
+# XLA's transposed conv (autodiff's own input-grad, which is not the slow
+# part; the slow part is XLA's dW correlation with C_in=3).
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv_hybrid_one(x, w):
+    kh = w.shape[0]
+    p = _im2col(x, k=kh, s=2)
+    wm = w.transpose(2, 0, 1, 3).reshape(-1, w.shape[3])
+    return p @ wm
+
+
+def _conv_hybrid_fwd(x, w):
+    return conv_hybrid_one(x, w), (x, w)
+
+
+def _conv_hybrid_bwd(res, dout):
+    x, w = res
+    kh = w.shape[0]
+    # dx: XLA's own conv input-grad (transposed conv), fast for these shapes
+    dnx = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    _, vjp_x = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(xx, w, (2, 2), "VALID", dimension_numbers=dnx), x
+    )
+    (dx,) = vjp_x(dout)
+    # dW: one [K, P] x [P, O] matmul over recomputed patches
+    p = _im2col(x, k=kh, s=2)
+    pf = p.reshape(-1, p.shape[-1])
+    doutf = dout.reshape(-1, dout.shape[-1])
+    dwm = pf.T @ doutf  # [C*kh*kw, O]
+    dw = dwm.reshape(w.shape[2], kh, kh, w.shape[3]).transpose(1, 2, 0, 3)
+    return dx, dw
+
+
+conv_hybrid_one.defvjp(_conv_hybrid_fwd, _conv_hybrid_bwd)
+
+
+def conv_hybrid(x, a, b):
+    return conv_hybrid_one(conv_hybrid_one(x, a), b)
+
+
+yh = np.asarray(conv_hybrid(x0, w1, w2), np.float32).reshape(y_ref.shape[0], 255, 19, 32)
+print("hybrid-vs-xla max err:", float(np.max(np.abs(yh - y_ref.reshape(yh.shape)))))
+time_chain("hybrid fwd        ", conv_hybrid)
+time_chain("hybrid fwd+bwd    ", conv_hybrid, grad=True)
