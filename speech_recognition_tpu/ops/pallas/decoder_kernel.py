@@ -231,7 +231,7 @@ def decoder_fwd_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=112 * 2**20,
         ),
     )(*operands)
 
@@ -450,7 +450,7 @@ def decoder_bwd_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=112 * 2**20,
         ),
     )(*operands)
 
