@@ -19,6 +19,7 @@ import flax.linen as nn
 
 from ..measure import ctc_loss
 from ..ops.rnn import BiRNN
+from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
 from .model_proto import ModelProto
 
@@ -41,8 +42,11 @@ class Convolution(nn.Module):
 
         x = audio_input.astype(self.dtype)
         for i, (ch, kernel, stride) in enumerate(zip(self.channels, self.kernel_sizes, self.strides)):
-            x = nn.Conv(
-                ch, kernel_size=tuple(kernel), strides=tuple(stride), padding="VALID", dtype=self.dtype, name=f"conv{i}"
+            # Conv2DValid == nn.Conv(VALID) parameter-wise; on TPU the
+            # stride-2-time layers take the phase-split stride-1 path
+            # (ops/s2d_conv.py) whose backward avoids input dilation
+            x = Conv2DValid(
+                ch, kernel_size=tuple(kernel), strides=tuple(stride), dtype=self.dtype, name=f"conv{i}"
             )(x)
 
         B, T2 = x.shape[0], x.shape[1]

@@ -31,6 +31,7 @@ import flax.linen as nn
 
 from ..measure import sparse_categorical_accuracy, sparse_categorical_crossentropy
 from ..ops.rnn import BiRNN, RNNParams, cell_step, num_states
+from ..ops.s2d_conv import Conv2DValid
 from .model_proto import ModelProto
 
 def _embed_init(key, shape, dtype=jnp.float32):
@@ -161,11 +162,12 @@ class Listener(nn.Module):
         conv_kw = dict(
             kernel_size=(self.KERNEL_SIZE, self.KERNEL_SIZE),
             strides=(self.STRIDE, self.STRIDE),
-            padding="VALID",
             dtype=self.dtype,
         )
-        audio = drop(nn.Conv(32, name="conv1", **conv_kw)(audio))
-        audio = drop(nn.Conv(32, name="conv2", **conv_kw)(audio))
+        # Conv2DValid == nn.Conv(VALID) parameter-wise, with the TPU
+        # phase-split stride-1 fast path for stride-2 time (ops/s2d_conv.py)
+        audio = drop(Conv2DValid(32, name="conv1", **conv_kw)(audio))
+        audio = drop(Conv2DValid(32, name="conv2", **conv_kw)(audio))
         B, T2 = audio.shape[0], audio.shape[1]
         audio = audio.reshape(B, T2, audio.shape[2] * audio.shape[3])
 
