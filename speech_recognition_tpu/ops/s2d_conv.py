@@ -51,14 +51,12 @@ def valid_conv2d(x, kernel, strides):
     return jax.lax.conv_general_dilated(x, kernel, strides, "VALID", dimension_numbers=dn)
 
 
-def time_s2d_valid_conv2d(x, kernel, strides):
-    """VALID conv with time stride 2 via the phase-split stride-1 form."""
-    st, sf = strides
-    assert st == 2, "phase-split form requires time stride 2"
+def _phase_split_time(x, kernel):
+    """Rewrite (x, kernel) so a stride-2 conv over x's axis 1 becomes a
+    stride-1 conv over the split pair.  Returns (xs, k2)."""
     B, T, F, C = x.shape
     kt, kf, ci, co = kernel.shape
     kt2 = (kt + 1) // 2
-    t_out = (T - kt) // st + 1
     if T % 2:
         # the pad frame is provably never read by the first t_out outputs
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)))
@@ -66,7 +64,31 @@ def time_s2d_valid_conv2d(x, kernel, strides):
     xs = x.reshape(B, T // 2, 2, F, C).transpose(0, 1, 3, 2, 4).reshape(B, T // 2, F, 2 * C)
     wp = jnp.pad(kernel, ((0, 2 * kt2 - kt), (0, 0), (0, 0), (0, 0)))
     k2 = wp.reshape(kt2, 2, kf, ci, co).transpose(0, 2, 1, 3, 4).reshape(kt2, kf, 2 * ci, co)
-    y = valid_conv2d(xs, k2, (1, sf))
+    return xs, k2
+
+
+def _swap_tf(x, kernel):
+    return jnp.swapaxes(x, 1, 2), jnp.swapaxes(kernel, 0, 1)
+
+
+def time_s2d_valid_conv2d(x, kernel, strides, split_freq: bool = False):
+    """VALID conv with time stride 2 via the phase-split stride-1 form;
+    optionally also phase-splits a stride-2 freq axis."""
+    st, sf = strides
+    assert st == 2, "phase-split form requires time stride 2"
+    T, F = x.shape[1], x.shape[2]
+    kt, kf = kernel.shape[0], kernel.shape[1]
+    t_out = (T - kt) // 2 + 1
+    x, kernel = _phase_split_time(x, kernel)
+    if split_freq:
+        assert sf == 2
+        f_out = (F - kf) // 2 + 1
+        x, kernel = _swap_tf(x, kernel)
+        x, kernel = _phase_split_time(x, kernel)
+        x, kernel = _swap_tf(x, kernel)
+        y = valid_conv2d(x, kernel, (1, 1))
+        return y[:, :t_out, :f_out]
+    y = valid_conv2d(x, kernel, (1, sf))
     # the phase conv can emit one extra step (even kt); slice to the exact
     # strided-conv output length
     return y[:, :t_out]
@@ -100,7 +122,8 @@ class Conv2DValid(nn.Module):
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         if _s2d_enabled(self.strides[0], kt):
-            y = time_s2d_valid_conv2d(x, kernel, tuple(self.strides))
+            split_freq = self.strides[1] == 2 and kf >= 8
+            y = time_s2d_valid_conv2d(x, kernel, tuple(self.strides), split_freq=split_freq)
         else:
             y = valid_conv2d(x, kernel, tuple(self.strides))
         return y + bias.astype(self.dtype)

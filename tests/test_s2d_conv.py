@@ -39,6 +39,32 @@ def test_phase_split_matches_direct(T, F, C, O, kt, kf, sf):
     np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "T,F,C,O,kt,kf",
+    [
+        (64, 40, 1, 8, 11, 11),   # DS2-like conv0 (stride 2,2 both split)
+        (33, 21, 2, 4, 9, 8),     # odd T, odd F
+        (32, 22, 2, 4, 10, 8),    # even taps both axes
+    ],
+)
+def test_phase_split_both_axes(T, F, C, O, kt, kf):
+    from speech_recognition_tpu.ops.s2d_conv import time_s2d_valid_conv2d as s2d
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, T, F, C), jnp.float32)
+    w = jnp.asarray(rng.randn(kt, kf, C, O) * 0.2, jnp.float32)
+    ref = valid_conv2d(x, w, (2, 2))
+    got = s2d(x, w, (2, 2), split_freq=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    loss_ref = lambda x, w: jnp.sum(valid_conv2d(x, w, (2, 2)) ** 2)
+    loss_got = lambda x, w: jnp.sum(s2d(x, w, (2, 2), split_freq=True) ** 2)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx_g, gw_g = jax.grad(loss_got, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
+
+
 def test_conv2dvalid_module_dispatch(monkeypatch):
     """Module path parity: forced s2d == disabled s2d, same param pytree as
     nn.Conv (names/shapes), on any backend."""
