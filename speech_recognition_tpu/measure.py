@@ -86,12 +86,18 @@ def ctc_negative_log_likelihood(y_true, logits, blank_index: int, pad_index: int
     gather [B, T, N+1] values.  Numerical equivalence with optax is tested
     (tests/models/test_deepspeech2.py).
     """
-    B, T, V = logits.shape
-    N = y_true.shape[1]
+    B = logits.shape[0]
     y = y_true.astype(jnp.int32)
-
     ids = jnp.concatenate([y, jnp.full((B, 1), blank_index, jnp.int32)], axis=1)
     emission = _emission_logprobs(logits, ids)  # [B,T,N+1]
+    return _ctc_nll_from_emission(y, emission, pad_index)
+
+
+def _ctc_nll_from_emission(y, emission, pad_index: int):
+    """CTC forward DP given emission log-probs [B, T, N+1] (labels then
+    blank as the last column)."""
+    B, T, _ = emission.shape
+    N = y.shape[1]
     lab_lp = emission[..., :N]
     blank_lp = emission[..., N]
 
@@ -149,6 +155,28 @@ def ctc_loss(y_true, logits, blank_index: int, pad_index: int = 0):
     :param logits: [B, T, V] float logits
     """
     per_seq, label_lengths = ctc_negative_log_likelihood(y_true, logits, blank_index, pad_index)
+    return _ctc_normalize(per_seq, label_lengths)
+
+
+def _ctc_normalize(per_seq, label_lengths):
     valid_row = (label_lengths > 0).astype(jnp.float32)
     per_seq = per_seq / jnp.maximum(label_lengths, 1.0) * valid_row
     return jnp.sum(per_seq) / jnp.maximum(jnp.sum(valid_row), 1.0)
+
+
+def ctc_loss_from_hidden(y_true, hid, W, b, blank_index: int, pad_index: int = 0):
+    """``ctc_loss`` of (hid @ W + b) without materializing [B, T, V] logits
+    when the fused Pallas pair supports the shape (ops/pallas/ctc_kernel.py);
+    identical-math XLA projection + `_emission_logprobs` otherwise."""
+    from .ops.pallas.ctc_kernel import fused_vocab_emissions, vocab_emissions_supported
+
+    B = hid.shape[0]
+    y = y_true.astype(jnp.int32)
+    ids = jnp.concatenate([y, jnp.full((B, 1), blank_index, jnp.int32)], axis=1)
+    if vocab_emissions_supported(hid, W, ids):
+        emission = fused_vocab_emissions(hid, W, b, ids)
+    else:
+        logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
+        emission = _emission_logprobs(logits, ids)
+    per_seq, label_lengths = _ctc_nll_from_emission(y, emission, pad_index)
+    return _ctc_normalize(per_seq, label_lengths)

@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..measure import ctc_loss
+from ..measure import ctc_loss, ctc_loss_from_hidden
 from ..ops.rnn import BiRNN
 from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
@@ -131,12 +131,35 @@ class DeepSpeech2(ModelProto):
         )
         self.fully_connected = nn.Dense(self.vocab_size, dtype=self.dtype, name="fully_connected")
 
+    # the train/eval steps may ask for pre-projection hidden states, so the
+    # vocab matmul + CTC emission gather can run as the fused Pallas pair
+    # (ops/pallas/ctc_kernel.py) that never materializes [B,T,V] logits
+    fused_loss_supported = True
+
     def __call__(self, audio_input: jnp.ndarray, training: bool = False):
         """[B, T, F, C] (or (features, frame_lengths)) -> logits [B, T', V]."""
+        return self.fully_connected(self.hidden_states(audio_input, training))
+
+    def hidden_states(self, audio_input, training: bool = False):
+        """Forward up to (not including) the vocab projection: [B, T', 2H]."""
         audio_input, frame_lengths = split_audio_lengths(audio_input)
         audio, mask = self.convolution(audio_input, training, frame_lengths)
-        audio = self.recurrent(audio, mask, training) * mask[:, :, None].astype(self.dtype)
-        return self.fully_connected(audio)
+        return self.recurrent(audio, mask, training) * mask[:, :, None].astype(self.dtype)
+
+    @staticmethod
+    def vocab_projection_params(params):
+        """(kernel [2H,V], bias [V]) of the vocab Dense from the params
+        pytree (checkpoint-stable path)."""
+        fc = params["fully_connected"]
+        return fc["kernel"], fc["bias"]
+
+    def loss_from_hidden(self, params, hid, y_true, loss_fn):
+        """CTC loss from pre-projection hidden states; fused Pallas pair
+        when supported, identical-math XLA fallback otherwise.  Returns
+        (loss, None) — DS2 has no logits-consuming metrics."""
+        W, b = self.vocab_projection_params(params)
+        loss = ctc_loss_from_hidden(y_true, hid, W, b, self.blank_index, self.pad_index)
+        return loss, None
 
     def get_loss_fn(self):
         blank, pad = self.blank_index, self.pad_index

@@ -404,6 +404,21 @@ class LAS(ModelProto):
         """
         return self._hiddens(inputs, training)
 
+    def loss_from_hidden(self, params, hid, y_true, loss_fn):
+        """Masked CE from pre-projection hidden states: the fused Pallas
+        CE+vocab pair when supported on this device/shape, else the
+        identical-math XLA projection + loss_fn.  Returns (loss, outputs)
+        where outputs is an int [N,B] preds array (fused) or [N,B,V]
+        logits (fallback); y_true must be time-major [N,B]."""
+        from ..ops.pallas.ce_kernel import ce_vocab_pallas_supported, fused_ce_vocab
+
+        W, b = self.vocab_projection_params(params)
+        if ce_vocab_pallas_supported(hid, W):
+            loss, preds = fused_ce_vocab(hid, W, b, y_true, self.pad_id)
+            return loss, preds
+        logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
+        return loss_fn(y_true, logits), logits
+
     def __call__(self, inputs: Tuple, training: bool = False, time_major_logits: bool = False):
         """(audio [B,T,F,C] | (audio, frame_lengths), decoder_input [B,N]) -> logits.
 

@@ -60,7 +60,7 @@ def make_train_step(
     # fns are layout-agnostic, so only y_true needs the (tiny) transpose.
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
-    fused_ce = time_major and _fused_ce_wanted(model)
+    fused = _fused_loss_wanted(model, time_major)
 
     def train_step(state: TrainState, model_input, y_true, rng):
         rng_names = ["dropout", "frontend"] + (
@@ -78,13 +78,13 @@ def make_train_step(
             mutable = ["batch_stats"] if state.batch_stats else False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            if fused_ce:
+            if fused:
                 out = model.apply(
                     variables, model_input, training=True, rngs=rngs, mutable=mutable,
                     method="hidden_states",
                 )
                 hid, updates = out if state.batch_stats else (out, {})
-                loss, outputs = _loss_from_hidden(model, params, hid, y_true, loss_fn)
+                loss, outputs = model.loss_from_hidden(params, hid, y_true, loss_fn)
             else:
                 out = model.apply(
                     variables, model_input, training=True, rngs=rngs, mutable=mutable,
@@ -107,41 +107,36 @@ def make_train_step(
             opt_state=new_opt_state,
         )
         metrics = {"loss": loss}
-        _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, getattr(model, "pad_id", 0))
+        _add_metrics(metrics, metric_fns, y_true, outputs, fused, getattr(model, "pad_id", 0))
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def _fused_ce_wanted(model) -> bool:
+def _fused_loss_wanted(model, time_major: bool) -> bool:
+    """Route the step through model.hidden_states + model.loss_from_hidden
+    (the Pallas fused-loss path with an identical-math XLA fallback).
+    LAS's CE pair (SRT_FUSED_CE) assumes time-major hidden states; DS2's
+    CTC pair is gated by SRT_FUSED_CTC."""
     import os
 
-    return (
-        bool(getattr(model, "fused_ce_supported", False))
-        and os.environ.get("SRT_FUSED_CE", "1") == "1"
-    )
+    if getattr(model, "fused_ce_supported", False):
+        return time_major and os.environ.get("SRT_FUSED_CE", "1") == "1"
+    if getattr(model, "fused_loss_supported", False):
+        return os.environ.get("SRT_FUSED_CTC", "1") == "1"
+    return False
 
 
-def _loss_from_hidden(model, params, hid, y_true, loss_fn):
-    """Loss from pre-projection hidden states: the fused Pallas CE+vocab
-    pair when supported on this device/shape, else the identical-math XLA
-    projection + loss_fn.  Returns (loss, outputs) where outputs is either
-    an int [N,B] preds array (fused) or [N,B,V] logits (fallback)."""
-    from ..ops.pallas.ce_kernel import ce_vocab_pallas_supported, fused_ce_vocab
-
-    W, b = model.vocab_projection_params(params)
-    if ce_vocab_pallas_supported(hid, W):
-        loss, preds = fused_ce_vocab(hid, W, b, y_true, model.pad_id)
-        return loss, preds
-    logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
-    return loss_fn(y_true, logits), logits
-
-
-def _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, pad_id=0):
+def _add_metrics(metrics, metric_fns, y_true, outputs, fused, pad_id=0):
     """Streaming metric sums.  With the fused CE path ``outputs`` is the
     argmax preds [N,B]; accuracy is computed from them directly (identical
-    to measure.sparse_categorical_accuracy on full logits)."""
-    if fused_ce and outputs.ndim == y_true.ndim:
+    to measure.sparse_categorical_accuracy on full logits).  ``outputs``
+    is None when the model computes loss only (DS2 fused CTC; it has no
+    logits-consuming metrics)."""
+    if outputs is None:
+        assert not metric_fns
+        return
+    if fused and outputs.ndim == y_true.ndim:
         mask = y_true != pad_id
         for name, _fn in metric_fns:
             metrics[f"{name}_sum"] = jnp.sum(
@@ -160,21 +155,21 @@ def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional
 
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
-    fused_ce = time_major and _fused_ce_wanted(model)
+    fused = _fused_loss_wanted(model, time_major)
 
     def eval_step(state: TrainState, model_input, y_true):
         if preprocess is not None:
             model_input = preprocess(model_input, None)
         if time_major:
             y_true = jnp.swapaxes(y_true, 0, 1)
-        if fused_ce:
+        if fused:
             hid = model.apply(state.variables, model_input, training=False, method="hidden_states")
-            loss, outputs = _loss_from_hidden(model, state.params, hid, y_true, loss_fn)
+            loss, outputs = model.loss_from_hidden(state.params, hid, y_true, loss_fn)
         else:
             outputs = model.apply(state.variables, model_input, training=False, **apply_kwargs)
             loss = loss_fn(y_true, outputs)
         metrics = {"loss": loss}
-        _add_metrics(metrics, metric_fns, y_true, outputs, fused_ce, getattr(model, "pad_id", 0))
+        _add_metrics(metrics, metric_fns, y_true, outputs, fused, getattr(model, "pad_id", 0))
         return metrics
 
     return jax.jit(eval_step)
