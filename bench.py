@@ -140,7 +140,7 @@ def main():
     # ---------------------------------------------------------- greedy RTF
     # RTF = decode wall time / audio duration.  T frames at frame_step=160 /
     # 16 kHz (libri config) = 10.23 s audio per utterance.
-    rtf = None
+    rtf = rtf_beam = None
     try:
         searcher = LASSearcher(model, state.variables, max_token_length=N, bos_id=1, eos_id=2)
         decode = lambda: np.asarray(searcher.greedy_search(audio)[0])
@@ -150,6 +150,11 @@ def main():
         t_decode = time.perf_counter() - t0
         audio_seconds = B * ((T - 1) * 160 + 320) / 16000.0
         rtf = round(t_decode / audio_seconds, 6)
+        decode_b = lambda: np.asarray(searcher.beam_search(audio, 8)[0])
+        decode_b()  # compile + warmup
+        t0 = time.perf_counter()
+        decode_b()
+        rtf_beam = round((time.perf_counter() - t0) / audio_seconds, 6)
     except Exception:
         pass
 
@@ -179,6 +184,7 @@ def main():
                 "flops_per_step": flops,
                 "mfu": mfu,
                 "rtf_greedy": rtf,
+                "rtf_beam8": rtf_beam,
             }
         )
     )
