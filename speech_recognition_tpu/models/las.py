@@ -523,8 +523,10 @@ class LAS(ModelProto):
                     # grads back through jnp.pad) so neither Pallas kernel
                     # copies the 50 MB pk/value operands again per call;
                     # padded keys get -1e9 bias => exactly zero probability
+                    from ..ops.pallas.decoder_kernel import DEFAULT_CHUNK
+
                     S = pk_in.shape[1]
-                    S_pad = -(-S // 64) * 64
+                    S_pad = -(-S // DEFAULT_CHUNK) * DEFAULT_CHUNK
                     if S_pad != S:
                         pk_in = jnp.pad(pk_in, ((0, 0), (0, S_pad - S), (0, 0)))
                         val_in = jnp.pad(val_in, ((0, 0), (0, S_pad - S), (0, 0)))
@@ -592,7 +594,12 @@ class LAS(ModelProto):
 
     def get_metrics(self):
         pad_id = self.pad_id
-        return [("accuracy", lambda y_true, logits: sparse_categorical_accuracy(y_true, logits, pad_id))]
+        fn = lambda y_true, logits: sparse_categorical_accuracy(y_true, logits, pad_id)
+        # the fused-CE train path computes accuracy from argmax preds without
+        # calling fn; it reads the mask index from this attribute so the two
+        # paths can never disagree on what counts as padding
+        fn.ignore_index = pad_id
+        return [("accuracy", fn)]
 
     @staticmethod
     def get_batching_shape(audio_pad_length, token_pad_length, frequency_dim, feature_dim):

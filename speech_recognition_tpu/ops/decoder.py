@@ -73,13 +73,8 @@ def decoder_scan_lstm(
 def _use_pallas_decoder(emb, pk, value, kernels) -> bool:
     if os.environ.get("SRT_PALLAS_DECODER", "1") != "1":
         return False
-    import jax
-
-    # the mega-kernel is not partition-aware: under a multi-device mesh the
-    # batch axis is sharded and pallas_call would force replication — keep
-    # the (identical-math) XLA scan path there until a shard_map port lands
-    if jax.device_count() != 1:
-        return False
+    # on a multi-device mesh the kernels run per data-shard via shard_map
+    # (ops/pallas/sharding.py); the gate checks per-shard shapes
     from .pallas.decoder_kernel import decoder_pallas_supported
 
     return decoder_pallas_supported(emb, pk, value, kernels)

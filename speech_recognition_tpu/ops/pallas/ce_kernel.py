@@ -29,19 +29,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import batch_shards, bspec, pallas_backend_ok, shard_over_batch
+
 
 def ce_vocab_pallas_supported(hid, W) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    if jax.device_count() != 1:
+    if not pallas_backend_ok():
         return False
     if hid.dtype != jnp.bfloat16:
         return False
     N, B, H = hid.shape
     V = W.shape[-1]
-    # logits tile f32 + W bf16 + dW scratch f32 must fit VMEM comfortably
-    vmem = B * V * 4 + W.size * 2 + H * V * 4
-    return B % 8 == 0 and H % 128 == 0 and V % 128 == 0 and vmem <= 72 * 2**20
+    shards = batch_shards(B)  # multi-device: kernels run per data-shard
+    if shards is None:
+        return False
+    Bl = shards[1]
+    # backward budget per kernel instance (the heavier direction): logits +
+    # dlogits f32 tiles, resident W bf16, dW/db f32 scratch, per-step
+    # hid/dhid blocks and the [B,128] stream blocks
+    vmem = 2 * Bl * V * 4 + W.size * 2 + (H + 1) * V * 4 + 2 * Bl * H * 2 + 4 * Bl * 128 * 4
+    return Bl % 8 == 0 and H % 128 == 0 and V % 128 == 0 and vmem <= 72 * 2**20
 
 
 def _fwd_kernel(refs):
@@ -107,13 +113,14 @@ def _bwd_kernel(n_steps, refs):
         db_ref[:] = db_scr[:]
 
 
-def _call_fwd(hid, y, W, b):
+def _fwd_invoke(hid, y_rep, W, b2):
+    # shapes derived INSIDE the (possibly shard_mapped) region: B is the
+    # per-shard local batch under a multi-device mesh
     N, B, H = hid.shape
     V = W.shape[-1]
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     step = lambda *bs: pl.BlockSpec((1,) + bs, lambda n: (n,) + (0,) * len(bs), memory_space=pltpu.VMEM)
-    y_rep = jnp.broadcast_to(y[:, :, None], (N, B, 128))
-    lse, lab, pred = pl.pallas_call(
+    return pl.pallas_call(
         lambda *refs: _fwd_kernel(refs),
         grid=(N,),
         in_specs=[step(B, H), step(B, 128), const(H, V), const(1, V)],
@@ -126,18 +133,27 @@ def _call_fwd(hid, y, W, b):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 2**20
         ),
-    )(hid, y_rep, W, b.reshape(1, V))
+    )(hid, y_rep, W, b2)
+
+
+def _call_fwd(hid, y, W, b):
+    N, B, H = hid.shape
+    V = W.shape[-1]
+    y_rep = jnp.broadcast_to(y[:, :, None], (N, B, 128))
+    lse, lab, pred = shard_over_batch(
+        _fwd_invoke,
+        (hid, y_rep, W, b.reshape(1, V)),
+        in_dims=(1, 1, None, None),
+        out_specs=(bspec(1, 3), bspec(1, 3), bspec(1, 3)),
+    )
     return lse[..., 0], lab[..., 0], pred[..., 0]
 
 
-def _call_bwd(hid, y, lse, dnll, W, b):
+def _bwd_invoke(hid, y_rep, lse_rep, dnll_rep, W, b2):
     N, B, H = hid.shape
     V = W.shape[-1]
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     step = lambda *bs: pl.BlockSpec((1,) + bs, lambda n: (n,) + (0,) * len(bs), memory_space=pltpu.VMEM)
-    y_rep = jnp.broadcast_to(y[:, :, None], (N, B, 128))
-    lse_rep = jnp.broadcast_to(lse[:, :, None], (N, B, 128))
-    dnll_rep = jnp.broadcast_to(dnll[:, :, None], (N, B, 128))
     return pl.pallas_call(
         lambda *refs: _bwd_kernel(N, refs),
         grid=(N,),
@@ -155,7 +171,23 @@ def _call_bwd(hid, y, lse, dnll, W, b):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=100 * 2**20
         ),
-    )(hid, y_rep, lse_rep, dnll_rep, W, b.reshape(1, V))
+    )(hid, y_rep, lse_rep, dnll_rep, W, b2)
+
+
+def _call_bwd(hid, y, lse, dnll, W, b):
+    N, B, H = hid.shape
+    V = W.shape[-1]
+    y_rep = jnp.broadcast_to(y[:, :, None], (N, B, 128))
+    lse_rep = jnp.broadcast_to(lse[:, :, None], (N, B, 128))
+    dnll_rep = jnp.broadcast_to(dnll[:, :, None], (N, B, 128))
+    # each shard contributes a partial dW/db over its local batch -> psum
+    return shard_over_batch(
+        _bwd_invoke,
+        (hid, y_rep, lse_rep, dnll_rep, W, b.reshape(1, V)),
+        in_dims=(1, 1, 1, 1, None, None),
+        out_specs=(bspec(1, 3), bspec(None, 2), bspec(None, 2)),
+        psum_out=(1, 2),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -30,15 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import batch_shards, bspec, pallas_backend_ok, shard_over_batch
+
 
 def _pad_k(K: int) -> int:
     return ((K + 127) // 128) * 128
 
 
 def vocab_emissions_supported(hid, W, ids) -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    if jax.device_count() != 1:
+    if not pallas_backend_ok():
         return False
     if hid.dtype != jnp.bfloat16:
         return False
@@ -47,8 +47,12 @@ def vocab_emissions_supported(hid, W, ids) -> bool:
     Kp = _pad_k(ids.shape[-1])
     if H % 128 or V % 128:
         return False
-    # logits f32 + W bf16 + onehot f32 + dW scratch f32 resident in VMEM
-    vmem = T * V * 4 + W.size * 2 + V * Kp * 4 + H * V * 4
+    if batch_shards(B) is None:  # multi-device: kernels run per data-shard
+        return False
+    # backward budget per kernel instance (grid over B, so the tiles are
+    # per-example and batch-independent): logits + dlogits f32 tiles,
+    # resident W bf16, onehot f32, dW/db f32 scratch, per-step blocks
+    vmem = 2 * T * V * 4 + W.size * 2 + V * Kp * 4 + (H + 1) * V * 4 + 2 * T * H * 2 + 3 * T * 128 * 4
     return vmem <= 72 * 2**20
 
 
@@ -122,13 +126,14 @@ def _prep_ids(ids, V, Kp):
     return jnp.broadcast_to(idp[:, None, :], (B, 8, Kp))
 
 
-def _call_fwd(hid, ids_rep, W, b):
+def _fwd_invoke(hid, ids_rep, W, b2):
+    # B here is the per-shard local batch under a multi-device mesh
     B, T, H = hid.shape
     V = W.shape[-1]
     Kp = ids_rep.shape[-1]
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     step = lambda *bs: pl.BlockSpec((1,) + bs, lambda n: (n,) + (0,) * len(bs), memory_space=pltpu.VMEM)
-    lse, vals = pl.pallas_call(
+    return pl.pallas_call(
         lambda *refs: _fwd_kernel(refs),
         grid=(B,),
         in_specs=[step(T, H), step(8, Kp), const(H, V), const(1, V)],
@@ -140,18 +145,26 @@ def _call_fwd(hid, ids_rep, W, b):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=112 * 2**20
         ),
-    )(hid, ids_rep, W, b.reshape(1, V))
+    )(hid, ids_rep, W, b2)
+
+
+def _call_fwd(hid, ids_rep, W, b):
+    V = W.shape[-1]
+    lse, vals = shard_over_batch(
+        _fwd_invoke,
+        (hid, ids_rep, W, b.reshape(1, V)),
+        in_dims=(0, 0, None, None),
+        out_specs=(bspec(0, 3), bspec(0, 3)),
+    )
     return lse[..., 0], vals
 
 
-def _call_bwd(hid, ids_rep, lse, dvals, dlse, W, b):
+def _bwd_invoke(hid, ids_rep, lse_rep, dvals, dlse_rep, W, b2):
     B, T, H = hid.shape
     V = W.shape[-1]
     Kp = ids_rep.shape[-1]
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     step = lambda *bs: pl.BlockSpec((1,) + bs, lambda n: (n,) + (0,) * len(bs), memory_space=pltpu.VMEM)
-    lse_rep = jnp.broadcast_to(lse[:, :, None], (B, T, 128))
-    dlse_rep = jnp.broadcast_to(dlse[:, :, None], (B, T, 128))
     return pl.pallas_call(
         lambda *refs: _bwd_kernel(B, refs),
         grid=(B,),
@@ -170,7 +183,22 @@ def _call_bwd(hid, ids_rep, lse, dvals, dlse, W, b):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=112 * 2**20
         ),
-    )(hid, ids_rep, lse_rep, dvals, dlse_rep, W, b.reshape(1, V))
+    )(hid, ids_rep, lse_rep, dvals, dlse_rep, W, b2)
+
+
+def _call_bwd(hid, ids_rep, lse, dvals, dlse, W, b):
+    B, T, H = hid.shape
+    V = W.shape[-1]
+    lse_rep = jnp.broadcast_to(lse[:, :, None], (B, T, 128))
+    dlse_rep = jnp.broadcast_to(dlse[:, :, None], (B, T, 128))
+    # each shard contributes a partial dW/db over its local batch -> psum
+    return shard_over_batch(
+        _bwd_invoke,
+        (hid, ids_rep, lse_rep, dvals, dlse_rep, W, b.reshape(1, V)),
+        in_dims=(0, 0, 0, 0, 0, None, None),
+        out_specs=(bspec(0, 3), bspec(None, 2), bspec(None, 2)),
+        psum_out=(1, 2),
+    )
 
 
 @jax.custom_vjp

@@ -33,26 +33,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import batch_shards, bspec, pallas_backend_ok, shard_over_batch
 
-def _sigmoid(x):
-    return jax.nn.sigmoid(x)
+# Attention-length reduction chunk.  models/las.py pads pk/value/bias ONCE to
+# this multiple before calling, so the kernels never re-pad the 50 MB
+# operands per call — keep the two in sync through this constant.
+DEFAULT_CHUNK = 64
 
 
 def decoder_pallas_supported(emb, pk, value, kernels) -> bool:
     """Shape/dtype gate: the kernel assumes lane-aligned dims and a batch
-    that satisfies the bf16 sublane tile."""
-    if jax.default_backend() != "tpu":
+    that satisfies the bf16 sublane tile (per data-shard under a mesh)."""
+    if not pallas_backend_ok():
         return False
     N, B, He = emb.shape
     _, S, H = pk.shape
     Dv = value.shape[-1]
     if emb.dtype != jnp.bfloat16:
         return False
-    if B % 16 or H % 128 or He % 128 or Dv % 128:
+    shards = batch_shards(B)  # multi-device: kernels run per data-shard
+    if shards is None:
         return False
-    # resident blocks must fit VMEM alongside streams (~96 MB budget)
-    resident = (pk.size + value.size) * 2
+    d, Bl = shards
+    if Bl % 16 or H % 128 or He % 128 or Dv % 128:
+        return False
+    # per-instance VMEM: resident pk/value blocks (per-shard), weight blocks
+    # (qw + per-cell kernel/rkernel/bias/mask), f32 carry scratch, and the
+    # per-step stream blocks (emb/mask/z/cp/hidden/...)
+    resident = (pk.size + value.size) * 2 // d
+    in_dim = He + Dv
+    for k in kernels:
+        resident += (k.size + k.shape[-1] * (H + 1)) * 2 + Bl * in_dim * 2
+        in_dim = H
+    resident += H * H * 2 + 2 * Bl * H * 4  # qw + f32 h/c scratch
+    resident += Bl * (He + 2 * H + 4 * H * len(kernels)) * 2 * 2  # step blocks (x2 buffering)
     return resident <= 72 * 2**20
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
 
 
 def _fwd_kernel(n_cells, n_steps, chunk, refs):
@@ -143,33 +162,14 @@ def _fwd_kernel(n_cells, n_steps, chunk, refs):
         clast_ref[:] = c.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def decoder_fwd_pallas(
-    emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels, biases,
-    cell_masks, out_mask, h0, c0, chunk: int = 64,
-):
-    """Run the full teacher-forced decoder loop in one Pallas kernel.
-
-    Returns the same structure as the XLA scan core in ops/decoder.py:
-    ``((h_last, c_last), (hidden, h_start, c_in0, zs, c_ps))``.
-    """
+def _fwd_invoke(n_cells, chunk, *operands):
+    # shapes derived INSIDE the (possibly shard_mapped) region: B is the
+    # per-shard local batch under a multi-device mesh
+    emb = operands[0]
     N, B, He = emb.shape
-    _, S, H = pk.shape
-    Dv = value.shape[-1]
-    n_cells = len(kernels)
+    _, S, H = operands[2].shape
+    Dv = operands[3].shape[-1]
     bf = jnp.bfloat16
-
-    # pad the attention length to the reduction-chunk multiple; padded keys
-    # are zero and the padded bias is -1e9, so softmax assigns them exactly
-    # zero probability (exp underflows) and the context is unchanged
-    S_pad = -(-S // chunk) * chunk
-    if S_pad != S:
-        pk = jnp.pad(pk, ((0, 0), (0, S_pad - S), (0, 0)))
-        value = jnp.pad(value, ((0, 0), (0, S_pad - S), (0, 0)))
-        attn_bias = jnp.pad(attn_bias, ((0, 0), (0, S_pad - S)), constant_values=-1e9)
-        S = S_pad
-
-    mask_rep = jnp.broadcast_to(token_mask.astype(bf), (N, B, H))  # lane-replicated
 
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     step3 = lambda d: pl.BlockSpec((1, B, d), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
@@ -183,10 +183,6 @@ def decoder_fwd_pallas(
         const(H, H),          # qw
         const(1, H),          # qb
     ]
-    operands = [
-        emb, mask_rep, pk, value, attn_bias.astype(jnp.float32),
-        qw, qb.reshape(1, H),
-    ]
     in_dim = He + Dv
     for i in range(n_cells):
         in_specs += [
@@ -195,12 +191,8 @@ def decoder_fwd_pallas(
             const(1, 4 * H),        # bias
             const(B, in_dim),       # cell dropout mask
         ]
-        operands += [
-            kernels[i], rkernels[i], biases[i].reshape(1, 4 * H), cell_masks[i],
-        ]
         in_dim = H
-    in_specs += [const(B, H), const(B, H), const(B, H)]
-    operands += [out_mask, h0, c0]
+    in_specs += [const(B, H), const(B, H), const(B, H)]  # out_mask, h0, c0
 
     out_shape = [
         jax.ShapeDtypeStruct((N, B, H), bf),  # hidden
@@ -219,7 +211,7 @@ def decoder_fwd_pallas(
 
     kernel = functools.partial(_fwd_kernel, n_cells, N, chunk)
 
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=(N,),
         in_specs=in_specs,
@@ -234,6 +226,57 @@ def decoder_fwd_pallas(
             vmem_limit_bytes=112 * 2**20,
         ),
     )(*operands)
+
+
+def decoder_fwd_pallas(
+    emb, token_mask, pk, value, attn_bias, qw, qb, kernels, rkernels, biases,
+    cell_masks, out_mask, h0, c0, chunk: int = DEFAULT_CHUNK,
+):
+    """Run the full teacher-forced decoder loop in one Pallas kernel.
+
+    Returns the same structure as the XLA scan core in ops/decoder.py:
+    ``((h_last, c_last), (hidden, h_start, c_in0, zs, c_ps))``.
+
+    Deliberately NOT @jax.jit: the sharded-vs-direct dispatch in
+    shard_over_batch reads the ACTIVE MESH global at trace time, and a
+    module-level jit cache would not key on it (a call under a different
+    mesh would silently reuse the stale trace).  Inside the train/eval
+    steps this is inlined by the outer jit; direct callers (tools, tests)
+    wrap it themselves if they need fusion.
+    """
+    N, B, He = emb.shape
+    _, S, H = pk.shape
+    n_cells = len(kernels)
+    bf = jnp.bfloat16
+
+    # pad the attention length to the reduction-chunk multiple; padded keys
+    # are zero and the padded bias is -1e9, so softmax assigns them exactly
+    # zero probability (exp underflows) and the context is unchanged
+    S_pad = -(-S // chunk) * chunk
+    if S_pad != S:
+        pk = jnp.pad(pk, ((0, 0), (0, S_pad - S), (0, 0)))
+        value = jnp.pad(value, ((0, 0), (0, S_pad - S), (0, 0)))
+        attn_bias = jnp.pad(attn_bias, ((0, 0), (0, S_pad - S)), constant_values=-1e9)
+
+    mask_rep = jnp.broadcast_to(token_mask.astype(bf), (N, B, H))  # lane-replicated
+
+    operands = [
+        emb, mask_rep, pk, value, attn_bias.astype(jnp.float32),
+        qw, qb.reshape(1, H),
+    ]
+    in_dims = [1, 1, 0, 0, 0, None, None]
+    for i in range(n_cells):
+        operands += [kernels[i], rkernels[i], biases[i].reshape(1, 4 * H), cell_masks[i]]
+        in_dims += [None, None, None, 0]
+    operands += [out_mask, h0, c0]
+    in_dims += [0, 0, 0]
+
+    out_specs = [bspec(1, 3)] * (3 + 2 * n_cells) + [bspec(0, 2)] * 2
+
+    outs = shard_over_batch(
+        functools.partial(_fwd_invoke, n_cells, chunk), tuple(operands),
+        in_dims, out_specs,
+    )
 
     hidden, h_start, c_in0 = outs[0], outs[1], outs[2]
     zs = tuple(outs[3 + 2 * i] for i in range(n_cells))
@@ -354,35 +397,14 @@ def _bwd_kernel(n_cells, n_steps, chunk, He, refs):
         dc0_ref[:] = dc_scr[:].astype(jnp.bfloat16)
 
 
-def decoder_bwd_pallas(
-    dhidden, dh_last, dc_last, token_mask, probs, c_in0, pk, value,
-    qw, kernels, rkernels, cell_masks, out_mask, zs, c_ps, He, chunk: int = 64,
-):
-    """Reverse-time decoder backward loop in one Pallas kernel.
-
-    pk/value stay VMEM-resident across all N steps (the XLA backward scan
-    re-streams both from HBM per step for the attention VJP).  Emits the
-    per-cell ``dz`` streams plus the attention-side streams (demb, dctx,
-    dscores, dq); every weight gradient is formed afterwards by the same
-    post-scan einsums as the XLA path (ops/decoder.py _decoder_bwd).
-
-    Returns (dh0, dc0, dzs, demb, dctx, dscores, dq) — all f32-accurate,
-    stored bf16.
-    """
+def _bwd_invoke(n_cells, chunk, He, *operands):
+    # shapes derived INSIDE the (possibly shard_mapped) region: B is the
+    # per-shard local batch under a multi-device mesh
+    dhidden = operands[0]
     N, B, H = dhidden.shape
-    S = S_orig = pk.shape[1]
-    Dv = value.shape[-1]
-    n_cells = len(kernels)
+    S = operands[4].shape[1]
+    Dv = operands[5].shape[-1]
     bf = jnp.bfloat16
-
-    S_pad = -(-S // chunk) * chunk
-    if S_pad != S:
-        pk = jnp.pad(pk, ((0, 0), (0, S_pad - S), (0, 0)))
-        value = jnp.pad(value, ((0, 0), (0, S_pad - S), (0, 0)))
-        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, S_pad - S)))
-        S = S_pad
-
-    mask_rep = jnp.broadcast_to(token_mask.astype(bf), (N, B, H))
 
     const = lambda *bs: pl.BlockSpec(bs, lambda n: (0,) * len(bs), memory_space=pltpu.VMEM)
     rev3 = lambda d: pl.BlockSpec(
@@ -401,10 +423,6 @@ def decoder_bwd_pallas(
         const(B, H),          # dh_last
         const(B, H),          # dc_last
     ]
-    operands = [
-        dhidden, mask_rep, probs.astype(bf), c_in0, pk, value,
-        jnp.swapaxes(qw, 0, 1), dh_last, dc_last,
-    ]
     in_dim = He + Dv
     for i in range(n_cells):
         in_specs += [
@@ -413,16 +431,10 @@ def decoder_bwd_pallas(
             const(B, in_dim),      # cell dropout mask
             const(1, H),           # per-cell placeholder (uniform grouping)
         ]
-        operands += [
-            jnp.swapaxes(kernels[i], 0, 1), jnp.swapaxes(rkernels[i], 0, 1),
-            cell_masks[i], jnp.zeros((1, H), bf),
-        ]
         in_dim = H
     for i in range(n_cells):
         in_specs += [rev3(4 * H), rev3(H)]  # z_i, cp_i
-        operands += [zs[i], c_ps[i]]
-    in_specs += [const(B, H)]
-    operands += [out_mask]
+    in_specs += [const(B, H)]  # out_mask
 
     out_shape = [jax.ShapeDtypeStruct((N, B, 4 * H), bf) for _ in range(n_cells)]
     out_specs = [rev3(4 * H) for _ in range(n_cells)]
@@ -438,7 +450,7 @@ def decoder_bwd_pallas(
 
     kernel = functools.partial(_bwd_kernel, n_cells, N, chunk, He)
 
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         lambda *refs: kernel(refs),
         grid=(N,),
         in_specs=in_specs,
@@ -453,6 +465,61 @@ def decoder_bwd_pallas(
             vmem_limit_bytes=112 * 2**20,
         ),
     )(*operands)
+
+
+def decoder_bwd_pallas(
+    dhidden, dh_last, dc_last, token_mask, probs, c_in0, pk, value,
+    qw, kernels, rkernels, cell_masks, out_mask, zs, c_ps, He,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Reverse-time decoder backward loop in one Pallas kernel.
+
+    pk/value stay VMEM-resident across all N steps (the XLA backward scan
+    re-streams both from HBM per step for the attention VJP).  Emits the
+    per-cell ``dz`` streams plus the attention-side streams (demb, dctx,
+    dscores, dq); every weight gradient is formed afterwards by the same
+    post-scan einsums as the XLA path (ops/decoder.py _decoder_bwd).
+
+    Returns (dh0, dc0, dzs, demb, dctx, dscores, dq) — all f32-accurate,
+    stored bf16.
+    """
+    N, B, H = dhidden.shape
+    S = S_orig = pk.shape[1]
+    n_cells = len(kernels)
+    bf = jnp.bfloat16
+
+    S_pad = -(-S // chunk) * chunk
+    if S_pad != S:
+        pk = jnp.pad(pk, ((0, 0), (0, S_pad - S), (0, 0)))
+        value = jnp.pad(value, ((0, 0), (0, S_pad - S), (0, 0)))
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, S_pad - S)))
+        S = S_pad
+
+    mask_rep = jnp.broadcast_to(token_mask.astype(bf), (N, B, H))
+
+    operands = [
+        dhidden, mask_rep, probs.astype(bf), c_in0, pk, value,
+        jnp.swapaxes(qw, 0, 1), dh_last, dc_last,
+    ]
+    in_dims = [1, 1, 1, 1, 0, 0, None, 0, 0]
+    for i in range(n_cells):
+        operands += [
+            jnp.swapaxes(kernels[i], 0, 1), jnp.swapaxes(rkernels[i], 0, 1),
+            cell_masks[i], jnp.zeros((1, H), bf),
+        ]
+        in_dims += [None, None, 0, None]
+    for i in range(n_cells):
+        operands += [zs[i], c_ps[i]]
+        in_dims += [1, 1]
+    operands += [out_mask]
+    in_dims += [0]
+
+    out_specs = [bspec(1, 3)] * (n_cells + 4) + [bspec(0, 2)] * 2
+
+    outs = shard_over_batch(
+        functools.partial(_bwd_invoke, n_cells, chunk, He), tuple(operands),
+        in_dims, out_specs,
+    )
 
     dzs = tuple(outs[:n_cells])
     demb, dctx, dscores, dq, dh0, dc0 = outs[n_cells:]

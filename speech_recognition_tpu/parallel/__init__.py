@@ -1,3 +1,21 @@
-from .mesh import get_device_mesh, get_num_devices, shard_batch, shard_params
+from .mesh import (
+    active_mesh,
+    data_axis_size,
+    get_active_mesh,
+    get_device_mesh,
+    get_num_devices,
+    set_active_mesh,
+    shard_batch,
+    shard_params,
+)
 
-__all__ = ["get_device_mesh", "get_num_devices", "shard_batch", "shard_params"]
+__all__ = [
+    "active_mesh",
+    "data_axis_size",
+    "get_active_mesh",
+    "get_device_mesh",
+    "get_num_devices",
+    "set_active_mesh",
+    "shard_batch",
+    "shard_params",
+]
