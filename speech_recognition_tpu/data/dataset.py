@@ -51,12 +51,22 @@ def get_dataset(
     shuffle: bool = False,
     resample: Optional[int] = None,
     num_workers: int = 8,
+    skip: int = 0,
+    map_fn: Optional[Callable] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Stream (pcm_audio float32 [T], tokens int32 [N]) pairs from tsv files.
 
     Mirrors reference get_dataset (data.py:12-61): glob tsvs, optional
     file-order shuffle, per-row audio decode + tokenize.  Decode is
     parallelized with a thread pool (numpy decode releases the GIL).
+
+    ``skip`` drops the first N examples at tsv-ROW granularity, before any
+    audio decode — epoch-resume fast-forwarding costs only the tsv reads
+    (reference semantics: dataset.skip on the example stream,
+    run/train.py:181-185).  ``skip`` >= the total row count yields nothing.
+    ``map_fn(audio, tokens)`` runs inside the decode pool when given, so
+    feature extraction parallelizes with decode instead of serializing in
+    the consumer generator.
     """
     dataset_list = glob(dataset_paths)
     if not dataset_list:
@@ -68,19 +78,30 @@ def get_dataset(
 
     def _load(row):
         path, text = row
-        return load_fn(path), np.asarray(tokenizer.tokenize(text), np.int32)
+        example = load_fn(path), np.asarray(tokenizer.tokenize(text), np.int32)
+        return map_fn(*example) if map_fn is not None else example
 
     for tsv in dataset_list:
         rows = read_tsv_rows(tsv)
+        if skip:
+            if skip >= len(rows):
+                skip -= len(rows)
+                continue
+            rows, skip = rows[skip:], 0
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             yield from pool.map(_load, rows)
 
 
-def get_tfrecord_dataset(dataset_paths: str) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Stream (features float32 [T,F,1], tokens int32 [N]) from TFRecords."""
+def get_tfrecord_dataset(dataset_paths: str, skip: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Stream (features float32 [T,F,1], tokens int32 [N]) from TFRecords.
+
+    ``skip`` drops the first N records before tensor parsing (the records
+    are still read and CRC-framed, but the nested TensorProto decode — the
+    expensive part — is skipped).
+    """
     from .tfrecord import read_example_dataset
 
-    return read_example_dataset(dataset_paths)
+    return read_example_dataset(dataset_paths, skip=skip)
 
 
 # ------------------------------------------------------------- length policies
@@ -111,6 +132,20 @@ def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def _stack_padded(arrays, length: int, dtype, rows: Optional[int] = None) -> np.ndarray:
+    """One-allocation padded stack: [rows, length, ...] zeros + slice-assign.
+
+    Half the memory traffic of per-example np.pad + np.stack (measured 2x on
+    the batching stage of tools/pipeline_bench.py); ``rows`` > len(arrays)
+    leaves zero batch-pad rows.
+    """
+    arrays = [np.asarray(a, dtype) for a in arrays]
+    out = np.zeros((rows or len(arrays), length) + arrays[0].shape[1:], dtype)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0]] = a
+    return out
+
+
 def shuffle_stream(dataset: Iterable, buffer_size: int, seed: Optional[int] = None) -> Iterator:
     """Reservoir-style shuffle with a bounded buffer (tf.data shuffle semantics)."""
     rng = random.Random(seed)
@@ -132,7 +167,8 @@ def padded_batch(
     token_pad_length: Optional[int],
     drop_remainder: bool = False,
     pad_to_batch: bool = False,
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    with_lengths: bool = False,
+) -> Iterator[Tuple[np.ndarray, ...]]:
     """Batch (audio, tokens) into padded [B, T, ...] / [B, N] arrays.
 
     With explicit pad lengths every batch has identical (static) shapes;
@@ -140,18 +176,22 @@ def padded_batch(
     shapes, reference run/train.py:187-197).
     ``pad_to_batch`` pads a short final batch up to batch_size with zero rows
     (static batch dimension for TPU), reporting the true count.
+    ``with_lengths`` additionally yields the TRUE per-example frame counts
+    [B] int32 (zero for batch-pad rows) between audio and tokens, so models
+    can mask exactly even when SpecAugment time masks zero the tail frames
+    (the last-nonzero heuristic would truncate; see models/las.py).
     """
     batch: List[Tuple[np.ndarray, np.ndarray]] = []
 
     def _emit(batch):
         a_len = audio_pad_length or max(a.shape[0] for a, _ in batch)
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
-        audio = np.stack([_pad_to(np.asarray(a, np.float32), a_len) for a, _ in batch])
-        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
-        if pad_to_batch and len(batch) < batch_size:
-            audio = np.concatenate([audio, np.zeros((batch_size - len(batch),) + audio.shape[1:], audio.dtype)])
-            tokens = np.concatenate([tokens, np.zeros((batch_size - len(batch),) + tokens.shape[1:], tokens.dtype)])
-        return audio, tokens
+        rows = batch_size if pad_to_batch else len(batch)
+        audio = _stack_padded([a for a, _ in batch], a_len, np.float32, rows)
+        tokens = _stack_padded([t for _, t in batch], t_len, np.int32, rows)
+        lengths = np.zeros(rows, np.int32)
+        lengths[: len(batch)] = [a.shape[0] for a, _ in batch]
+        return (audio, lengths, tokens) if with_lengths else (audio, tokens)
 
     for item in dataset:
         batch.append(item)
@@ -186,11 +226,8 @@ def quantized_padded_batch(
         max_t = max(a.shape[0] for a, _ in batch)
         a_len = audio_pad_length or ((max_t + time_quantum - 1) // time_quantum) * time_quantum
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
-        audio = np.stack([_pad_to(np.asarray(a, np.float32), a_len) for a, _ in batch])
-        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
-        if n_valid < batch_size:
-            audio = np.concatenate([audio, np.zeros((batch_size - n_valid,) + audio.shape[1:], audio.dtype)])
-            tokens = np.concatenate([tokens, np.zeros((batch_size - n_valid,) + tokens.shape[1:], tokens.dtype)])
+        audio = _stack_padded([a for a, _ in batch], a_len, np.float32, batch_size)
+        tokens = _stack_padded([t for _, t in batch], t_len, np.int32, batch_size)
         return audio, tokens, n_valid
 
     for item in dataset:
@@ -209,7 +246,8 @@ def bucket_batch(
     token_pad_length: Optional[int],
     drop_remainder: bool = False,
     over_boundary: str = "drop",
-) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    with_lengths: bool = False,
+) -> Iterator[Tuple[np.ndarray, ...]]:
     """Length-bucketed padded batching.
 
     The reference pads every TPU batch to the global max (run/train.py:187-197
@@ -232,11 +270,12 @@ def bucket_batch(
 
     def _emit(idx):
         batch = buckets[idx]
-        audio = np.stack([_pad_to(np.asarray(a, np.float32), boundaries[idx]) for a, _ in batch])
+        audio = _stack_padded([a for a, _ in batch], boundaries[idx], np.float32)
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
-        tokens = np.stack([_pad_to(np.asarray(t, np.int32), t_len) for _, t in batch])
+        tokens = _stack_padded([t for _, t in batch], t_len, np.int32)
+        lengths = np.asarray([a.shape[0] for a, _ in batch], np.int32)
         buckets[idx] = []
-        return audio, tokens
+        return (audio, lengths, tokens) if with_lengths else (audio, tokens)
 
     for audio, tokens in dataset:
         if audio.shape[0] > boundaries[-1]:
@@ -269,9 +308,72 @@ def map_stream(dataset: Iterable, fn: Callable) -> Iterator:
             yield fn(item)
 
 
-def repeat_stream(make_dataset: Callable[[], Iterable]) -> Iterator:
+def parallel_map_stream(
+    dataset: Iterable, fn: Callable, num_workers: int = 8, window: int = 64
+) -> Iterator:
+    """Order-preserving thread-pool map with a bounded in-flight window.
+
+    Replaces the reference's ``dataset.map(..., num_parallel_calls)``
+    (reference data.py:52-54): numpy FFT/matmul feature work releases the
+    GIL, so the per-example transforms overlap.  ``window`` bounds memory
+    (at most ``window`` transformed examples buffered ahead).
+    """
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = deque()
+        for item in dataset:
+            pending.append(pool.submit(fn, item))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
+class _PrefetchError:
+    def __init__(self, exc):
+        self.exc = exc
+
+
+def prefetch_stream(dataset: Iterable, size: int = 2) -> Iterator:
+    """Run the upstream pipeline in a background thread with a bounded queue
+    (reference ``dataset.prefetch`` semantics, run/train.py:197): host batch
+    prep overlaps device step execution instead of serializing with it."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    done = object()
+
+    def _worker():
+        try:
+            for item in dataset:
+                q.put(item)
+            q.put(done)
+        except BaseException as exc:  # re-raised on the consumer side
+            q.put(_PrefetchError(exc))
+
+    # daemon: an abandoned consumer (early break) must not block interpreter
+    # exit while the producer waits on a full queue
+    threading.Thread(target=_worker, daemon=True).start()
     while True:
-        yield from make_dataset()
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        yield item
+
+
+def repeat_stream(make_dataset: Callable[..., Iterable], first_skip: int = 0) -> Iterator:
+    """Endlessly re-invoke the dataset factory.  ``first_skip`` is passed as
+    ``skip=`` to the FIRST invocation only (epoch-resume fast-forward)."""
+    while True:
+        if first_skip:
+            yield from make_dataset(skip=first_skip)
+            first_skip = 0
+        else:
+            yield from make_dataset()
 
 
 def skip_stream(dataset: Iterable, count: int) -> Iterator:

@@ -252,10 +252,12 @@ def write_records(path: str, records: Iterable[bytes], compression: str = "GZIP"
             f.write(struct.pack("<I", _masked_crc(data)))
 
 
-def read_example_dataset(paths) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+def read_example_dataset(paths, skip: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Read (features float32 [T,F,1], tokens int32 [N]) pairs from TFRecords.
 
     Wire-compatible with reference data.py:64-79 / make_tfrecord.py:39-43.
+    ``skip`` drops the first N records before the (expensive) nested
+    TensorProto parse — cheap epoch-resume fast-forwarding.
     """
     from ..utils.io import glob
 
@@ -263,6 +265,9 @@ def read_example_dataset(paths) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         paths = glob(paths)
     for path in paths:
         for record in read_records(path):
+            if skip:
+                skip -= 1
+                continue
             outer = parse_tensor(record)
             audio = parse_tensor(outer[0])
             tokens = parse_tensor(outer[1])

@@ -61,8 +61,12 @@ def main(args: argparse.Namespace):
     else:
         logger.info(f"[+] Load dataset from {args.dataset_paths}")
         feature_fn = config.make_audio_feature_fn("numpy")
-        raw = get_dataset(args.dataset_paths, config.file_format, config.sample_rate, tokenizer)
-        stream = ((feature_fn(audio), tokens) for audio, tokens in raw)
+        # feature extraction runs inside the decode thread pool so host prep
+        # overlaps the (much slower) device decode loop
+        stream = get_dataset(
+            args.dataset_paths, config.file_format, config.sample_rate, tokenizer,
+            map_fn=lambda a, t: (feature_fn(a), t),
+        )
     if config.use_delta_accelerate:
         logger.info("[+] Use delta and deltas accelerate")
         stream = ((delta_accelerate(a), t) for a, t in stream)
@@ -90,8 +94,14 @@ def main(args: argparse.Namespace):
     # ---------------------------------------------------------------- inference
     logger.info("[+] Start Inference")
     outputs = []
-    batches = quantized_padded_batch(
-        stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad
+    from ..data.dataset import prefetch_stream
+
+    # double-buffered batches: host batch prep overlaps the device decode
+    batches = prefetch_stream(
+        quantized_padded_batch(
+            stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad
+        ),
+        size=2,
     )
     for batch_audio, batch_tokens, n_valid in batches:
         if args.beam_size > 0:

@@ -61,11 +61,17 @@ def main(args: argparse.Namespace):
     feature_fn = config.make_audio_feature_fn("numpy")
 
     def stream():
-        for path in dataset_files:
+        # decode + feature extraction in a thread pool (overlaps the device
+        # decode loop; numpy FFT work releases the GIL)
+        from ..data.dataset import parallel_map_stream
+
+        def _one(path):
             feat = feature_fn(load_fn(path))
             if config.use_delta_accelerate:
                 feat = delta_accelerate(feat)
-            yield feat
+            return feat
+
+        return parallel_map_stream(dataset_files, _one)
 
     model_config = get_model_config(args.model_config)
     dtype = compute_dtype(args.mixed_precision, args.device)
@@ -85,10 +91,15 @@ def main(args: argparse.Namespace):
     # bounded shape set for the jitted decode loop (see run/evaluate.py)
     audio_pad = config.max_audio_length if args.device == "TPU" else None
     outputs = []
-    batches = quantized_padded_batch(
-        ((feat, np.zeros(1, np.int32)) for feat in stream()),
-        args.batch_size,
-        audio_pad_length=audio_pad,
+    from ..data.dataset import prefetch_stream
+
+    batches = prefetch_stream(
+        quantized_padded_batch(
+            ((feat, np.zeros(1, np.int32)) for feat in stream()),
+            args.batch_size,
+            audio_pad_length=audio_pad,
+        ),
+        size=2,
     )
     for audio, _, n_valid in batches:
         if args.beam_size > 0:

@@ -75,18 +75,22 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
 
     seed_holder = {"epoch": 0}
 
-    def factory():
+    def factory(skip: int = 0):
         import jax
 
         if cfg.use_tfrecord:
-            stream = get_tfrecord_dataset(paths)
+            stream = get_tfrecord_dataset(paths, skip=skip)
         else:
+            # feature extraction runs inside the decode thread pool (numpy
+            # FFT releases the GIL) instead of serializing in this generator
             raw = get_dataset(
                 paths,
                 data_config.file_format,
                 data_config.sample_rate,
                 tokenizer,
                 shuffle=train and cfg.shuffle_buffer_size > 1,
+                skip=skip,
+                map_fn=None if raw_mode else (lambda a, t: (feature_fn(a), t)),
             )
             if raw_mode:
                 # raw PCM to the device; features/SpecAugment/delta fuse into
@@ -109,7 +113,7 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
 
                 seed_holder["epoch"] += 1
                 return _policy(raw)
-            stream = ((feature_fn(audio), tokens) for audio, tokens in raw)
+            stream = raw  # (features, tokens): map_fn already applied in-pool
 
         if spec_augment_fn is not None:
             key = jax.random.PRNGKey((cfg.seed or 0) * 1000 + seed_holder["epoch"])
@@ -166,7 +170,6 @@ def main(cfg: TrainConfig):
     import optax
 
     from ..data import SentencePieceTokenizer, padded_batch, shuffle_stream
-    from ..data.dataset import skip_stream
     from ..models import LAS
     from ..parallel import get_device_mesh, shard_batch, shard_params
     from ..train import (
@@ -299,14 +302,18 @@ def main(cfg: TrainConfig):
         audio_pad = cfg.audio_pad_length if static else None
     token_pad = cfg.token_pad_length if static else None
 
-    skip_examples = {"count": (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size}
+    skip_count = (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size
+    if skip_count and cfg.train_dataset_size:
+        # the repeated stream wraps around the dataset: row-level skip is
+        # modulo the dataset size (reference dataset.repeat().skip semantics)
+        skip_count %= cfg.train_dataset_size
+    skip_examples = {"count": skip_count}
 
     def batch_iterator(factory, batch_size, train: bool, epoch: int = 0):
-        stream = factory()
-        if train and skip_examples["count"]:
-            # deterministic resume: skip already-consumed examples once
-            stream = skip_stream(stream, skip_examples.pop("count", 0) or 0)
-            skip_examples["count"] = 0
+        # deterministic resume: fast-forward happens at tsv-row/record level
+        # inside the factory — skipped examples are never decoded
+        skip = skip_examples.pop("count", 0) if train else 0
+        stream = factory(skip=skip) if skip else factory()
         if train and cfg.shuffle_buffer_size > 1:
             # reshuffle each epoch (tf.data reshuffle_each_iteration semantics)
             seed = None if cfg.seed is None else cfg.seed + epoch
@@ -353,14 +360,21 @@ def main(cfg: TrainConfig):
                 token_pad,
                 drop_remainder=multi_device,
                 over_boundary="clamp" if cfg.max_over_policy == "slice" else "drop",
+                with_lengths=True,
             )
         else:
-            batches = padded_batch(stream, batch_size, audio_pad, token_pad, pad_to_batch=static)
-        for audio, tokens in batches:
+            batches = padded_batch(
+                stream, batch_size, audio_pad, token_pad, pad_to_batch=static,
+                with_lengths=True,
+            )
+        # true frame lengths ride along so the model masks exactly even when
+        # SpecAugment time masks zero tail frames (the last-nonzero-frame
+        # heuristic would truncate the encoder mask; models/las.py)
+        for audio, lengths, tokens in batches:
             if is_las:
-                model_input, y_true = (audio, tokens[:, :-1]), tokens[:, 1:]
+                model_input, y_true = ((audio, lengths), tokens[:, :-1]), tokens[:, 1:]
             else:
-                model_input, y_true = audio, tokens
+                model_input, y_true = (audio, lengths), tokens
             yield model_input, y_true
 
     # --------------------------------------------------------------- training
@@ -375,10 +389,15 @@ def main(cfg: TrainConfig):
     # rebuilding per epoch would retrain on the same first chunk forever
     persistent_train_iter = None
     if cfg.steps_per_epoch:
-        from ..data.dataset import repeat_stream
+        from ..data.dataset import prefetch_stream, repeat_stream
 
-        persistent_train_iter = batch_iterator(
-            lambda: repeat_stream(train_factory), cfg.batch_size, train=True
+        persistent_train_iter = prefetch_stream(
+            batch_iterator(
+                lambda skip=0: repeat_stream(train_factory, first_skip=skip),
+                cfg.batch_size,
+                train=True,
+            ),
+            size=2,
         )
 
     profiling = False
@@ -389,7 +408,11 @@ def main(cfg: TrainConfig):
         if persistent_train_iter is not None:
             train_iter = persistent_train_iter
         else:
-            train_iter = batch_iterator(train_factory, cfg.batch_size, train=True, epoch=epoch)
+            from ..data.dataset import prefetch_stream
+
+            train_iter = prefetch_stream(
+                batch_iterator(train_factory, cfg.batch_size, train=True, epoch=epoch), size=2
+            )
         for model_input, y_true in train_iter:
             if cfg.profile_steps and epoch == cfg.skip_epochs and steps == 1 and not profiling:
                 jax.profiler.start_trace(path_join(cfg.output_path, "profile"))
@@ -422,7 +445,11 @@ def main(cfg: TrainConfig):
         # ------------------------------------------------------------- validate
         val_metrics = {}
         val_steps = 0
-        for model_input, y_true in batch_iterator(dev_factory, cfg.dev_batch_size, train=False):
+        from ..data.dataset import prefetch_stream as _prefetch
+
+        for model_input, y_true in _prefetch(
+            batch_iterator(dev_factory, cfg.dev_batch_size, train=False), size=2
+        ):
             if multi_device:
                 model_input = shard_batch(model_input, mesh)
                 y_true = shard_batch(y_true, mesh)
