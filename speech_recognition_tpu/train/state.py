@@ -60,7 +60,7 @@ def make_train_step(
     # fns are layout-agnostic, so only y_true needs the (tiny) transpose.
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
-    fused = _fused_loss_wanted(model, time_major)
+    fused = _fused_loss_wanted(model, time_major, metric_fns)
 
     def train_step(state: TrainState, model_input, y_true, rng):
         rng_names = ["dropout", "frontend"] + (
@@ -113,7 +113,7 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def _fused_loss_wanted(model, time_major: bool) -> bool:
+def _fused_loss_wanted(model, time_major: bool, metric_fns=()) -> bool:
     """Route the step through model.hidden_states + model.loss_from_hidden
     (the Pallas fused-loss path with an identical-math XLA fallback).
     LAS's CE pair (SRT_FUSED_CE) assumes time-major hidden states; DS2's
@@ -123,7 +123,9 @@ def _fused_loss_wanted(model, time_major: bool) -> bool:
     if getattr(model, "fused_ce_supported", False):
         return time_major and os.environ.get("SRT_FUSED_CE", "1") == "1"
     if getattr(model, "fused_loss_supported", False):
-        return os.environ.get("SRT_FUSED_CTC", "1") == "1"
+        # this route computes loss ONLY (outputs None): a model configured
+        # with logits-consuming metrics must take the plain path instead
+        return not metric_fns and os.environ.get("SRT_FUSED_CTC", "1") == "1"
     return False
 
 
@@ -131,14 +133,16 @@ def _add_metrics(metrics, metric_fns, y_true, outputs, fused, pad_id=0):
     """Streaming metric sums.  With the fused CE path ``outputs`` is the
     argmax preds [N,B]; accuracy is computed from them directly (identical
     to measure.sparse_categorical_accuracy on full logits).  ``outputs``
-    is None when the model computes loss only (DS2 fused CTC; it has no
-    logits-consuming metrics)."""
+    is None when the model computes loss only (DS2 fused CTC;
+    _fused_loss_wanted guarantees no metric_fns on that route)."""
     if outputs is None:
-        assert not metric_fns
         return
     if fused and outputs.ndim == y_true.ndim:
-        mask = y_true != pad_id
-        for name, _fn in metric_fns:
+        for name, fn in metric_fns:
+            # the mask index each metric was built with, falling back to the
+            # model's pad id — keeps the preds-based accuracy identical to
+            # fn(y_true, full_logits) even for non-default ignore_index
+            mask = y_true != getattr(fn, "ignore_index", pad_id)
             metrics[f"{name}_sum"] = jnp.sum(
                 jnp.where(mask, (outputs == y_true).astype(jnp.float32), 0.0)
             )
@@ -155,7 +159,7 @@ def make_eval_step(model, loss_fn: Callable, metric_fns=(), preprocess: Optional
 
     time_major = bool(getattr(model, "logits_time_major_supported", False))
     apply_kwargs = {"time_major_logits": True} if time_major else {}
-    fused = _fused_loss_wanted(model, time_major)
+    fused = _fused_loss_wanted(model, time_major, metric_fns)
 
     def eval_step(state: TrainState, model_input, y_true):
         if preprocess is not None:

@@ -15,11 +15,14 @@ DEFAULT_DS_CONFIG = os.path.join(CONFIG_DIR, "deepspeech.yml")
 TEST_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 WAV_DATASET_PATH = os.path.join(TEST_DATA_DIR, "wav_dataset.tsv")
 PCM_DATASET_PATH = os.path.join(TEST_DATA_DIR, "pcm_dataset.tsv")
+KSPON_DATASET_PATH = os.path.join(TEST_DATA_DIR, "kspon_dataset.tsv")
 TFRECORD_DATASET_PATH = os.path.join(TEST_DATA_DIR, "wav_dataset.tfrecord")
+KSPON_MINI_DATA_CONFIG = os.path.join(TEST_DATA_DIR, "kspon_mini_data_config.yml")
 
 TEST_MODEL_CONFIG_DIR = os.path.join(TEST_DATA_DIR, "model-configs")
 TEST_LAS_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "las_mini_for_test.yml")
 TEST_DS_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "deepspeech_mini_for_test.yml")
+TEST_LAS_KSPON_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "las_mini_kspon_for_test.yml")
 
 # read-only upstream fixtures used solely for parity checks (skipped if absent)
 REFERENCE_DIR = "/root/reference"

@@ -9,7 +9,17 @@ import os
 import numpy as np
 import pytest
 
-from ..const import SP_MODEL_LIBRI, TEST_DATA_DIR, TEST_DS_CONFIG, TEST_LAS_CONFIG, WAV_DATASET_PATH
+from ..const import (
+    KSPON_DATASET_PATH,
+    KSPON_MINI_DATA_CONFIG,
+    SP_MODEL_KSPON,
+    SP_MODEL_LIBRI,
+    TEST_DATA_DIR,
+    TEST_DS_CONFIG,
+    TEST_LAS_CONFIG,
+    TEST_LAS_KSPON_CONFIG,
+    WAV_DATASET_PATH,
+)
 
 MINI_DATA_CONFIG = os.path.join(TEST_DATA_DIR, "mini_data_config.yml")
 
@@ -227,3 +237,54 @@ def test_train_cli_auto_resume(tmp_path):
     main(TrainConfig(**vars(parser.parse_args(args))))
     after = set(os.listdir(tmp_path / "output" / "models"))
     assert len(after - first_ckpts) == 1  # exactly one new epoch trained
+
+
+def test_train_and_evaluate_cli_kspon(tmp_path):
+    """Korean end-to-end (driver config #4 shape): pcm container + MFCC
+    features + SpecAugment enabled + the shipped 8K KsponSpeech
+    sentencepiece model, train 2 steps then evaluate greedy from the
+    written checkpoint (reference resources/configs/kspon_config.yml)."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+
+    args = train_parser.parse_args([
+        "--data-config", KSPON_MINI_DATA_CONFIG,
+        "--model-config", TEST_LAS_KSPON_CONFIG,
+        "--sp-model-path", SP_MODEL_KSPON,
+        "--train-dataset-paths", KSPON_DATASET_PATH,
+        "--dev-dataset-paths", KSPON_DATASET_PATH,
+        "--train-dataset-size", "2",
+        "--output-path", str(tmp_path / "output"),
+        "--epochs", "1",
+        "--steps-per-epoch", "2",
+        "--learning-rate", "1e-3",
+        "--batch-size", "2",
+        "--dev-batch-size", "2",
+        "--shuffle-buffer-size", "1",
+        "--max-over-policy", "slice",
+        "--device", "CPU",
+        "--seed", "42",
+    ])
+    train_main(TrainConfig(**vars(args)))
+    ckpts = list((tmp_path / "output" / "models").iterdir())
+    assert len(ckpts) == 1
+
+    out_tsv = str(tmp_path / "eval.tsv")
+    eval_main(eval_parser.parse_args([
+        "--data-config", KSPON_MINI_DATA_CONFIG,
+        "--model-config", TEST_LAS_KSPON_CONFIG,
+        "--dataset-paths", KSPON_DATASET_PATH,
+        "--model-path", str(ckpts[0]),
+        "--sp-model-path", SP_MODEL_KSPON,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--beam-size", "0",
+        "--device", "CPU",
+    ]))
+    with open(out_tsv, encoding="utf-8") as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3  # header + 2 Korean examples
+    # targets round-tripped through the kspon tokenizer stay Korean text
+    assert "안녕하세요" in lines[1] + lines[2]

@@ -263,3 +263,74 @@ def test_ds_greedy_decode_parity(ds_pair):
     ref_p[:, : ref_tokens.shape[1]] = ref_tokens
     our_p[:, : our_tokens.shape[1]] = our_tokens
     np.testing.assert_array_equal(our_p, ref_p)
+
+
+def test_converter_skips_release_checkpoint_bookkeeping(tmp_path):
+    """Release-style checkpoints (Keras ModelCheckpoint / tf.train.Checkpoint
+    saves, reference run/train.py:208-212) carry ``save_counter`` and
+    optimizer slot variables alongside the model weights.  The converter's
+    skip list (compat/tf_checkpoint.py) must drop exactly those — untested
+    by the mini fixtures, which contain neither.  A Keras-3 re-save cannot
+    reproduce the Keras-2-era object graph (it silently drops the RNN/BN
+    variables), so this rebuilds the fixture checkpoint key-for-key through
+    trackable attribute chains and adds the bookkeeping keys the release
+    artifact has.
+
+    Runbook for the published v0.0.1 LAS-small artifact (absent here):
+    download the release checkpoint, run
+    ``python -m speech_recognition_tpu.compat.tf_checkpoint <ckpt> <out>``,
+    load with train.restore_weights — the same flow this test covers.
+    """
+    from tensorflow.python.trackable.autotrackable import AutoTrackable
+
+    from speech_recognition_tpu.compat import convert_tf_checkpoint
+
+    src = os.path.join(REF_CKPT_DIR, "las.ckpt")
+    reader = tf.train.load_checkpoint(src)
+    suffix = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+    root = tf.train.Checkpoint()  # .save() writes save_counter itself
+    keep_alive = []
+    n_model_keys = 0
+    for key in sorted(reader.get_variable_to_shape_map()):
+        if not key.endswith(suffix):
+            continue
+        parts = key[: -len(suffix)].split("/")
+        obj = root
+        for part in parts[:-1]:
+            # digit path components (list indices in the original graph) are
+            # attached as attributes of the same name — checkpoint keys are
+            # attribute names verbatim, so the key layout is preserved
+            nxt = getattr(obj, part, None)
+            if nxt is None:
+                nxt = AutoTrackable()
+                setattr(obj, part, nxt)
+            obj = nxt
+        var = tf.Variable(reader.get_tensor(key))
+        keep_alive.append(var)
+        setattr(obj, parts[-1], var)
+        n_model_keys += 1
+    assert n_model_keys >= 20
+
+    opt = AutoTrackable()  # Adam slot layout: optimizer/m/<i>, optimizer/v/<i>
+    for slot in ("m", "v"):
+        holder = AutoTrackable()
+        for i in range(2):
+            setattr(holder, str(i), tf.Variable(tf.zeros([4])))
+        setattr(opt, slot, holder)
+    opt.iterations = tf.Variable(7, dtype=tf.int64)
+    root.optimizer = opt
+    path = root.save(str(tmp_path / "release" / "ck"))
+
+    keys = set(tf.train.load_checkpoint(path).get_variable_to_shape_map())
+    assert any(k.startswith("save_counter") for k in keys)
+    assert any(k.startswith("optimizer/") for k in keys)
+
+    converted = convert_tf_checkpoint(path)
+    expected = convert_tf_checkpoint(src)
+    flat_c = jax.tree_util.tree_flatten_with_path(converted)
+    flat_e = jax.tree_util.tree_flatten_with_path(expected)
+    assert jax.tree_util.tree_structure(converted) == jax.tree_util.tree_structure(expected)
+    for (pc, vc), (pe, ve) in zip(flat_c[0], flat_e[0]):
+        assert pc == pe
+        np.testing.assert_array_equal(np.asarray(vc), np.asarray(ve), err_msg=str(pc))
