@@ -150,6 +150,27 @@ def load_audio_file(
     warned = set()
 
     def _load(path: str) -> np.ndarray:
+        from ..utils.io import is_remote
+
+        if is_remote(path):
+            # stage the object to a temp file once: every decoder (incl. the
+            # native C++ fast paths) then reads it like a local file — the
+            # same one-fetch cost tfio paid through gfile
+            import os as _os
+            import tempfile
+
+            from ..utils.io import open_file
+
+            with open_file(path, "rb") as f:
+                data = f.read()
+            suffix = _os.path.splitext(path)[1]
+            with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
+                tmp.write(data)
+                local = tmp.name
+            try:
+                return _load(local)
+            finally:
+                _os.unlink(local)
         fmt = file_format if file_format == "pcm" else sniff_container(path, file_format)
         if fmt == "wav":
             audio, header_rate = decode_wav(path)

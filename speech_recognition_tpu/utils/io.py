@@ -1,9 +1,11 @@
 """Filesystem helpers that are transparent to ``gs://`` object-store paths.
 
 The reference routed all IO through ``tf.io.gfile`` (reference utils.py:116-120,
-run/train.py:53-60).  Here local paths use the stdlib; ``gs://`` paths are
-delegated to ``tf.io.gfile`` only if TensorFlow happens to be importable —
-the core framework carries no TF dependency.
+run/train.py:53-60).  Here local paths use the stdlib; ``gs://`` paths go to
+the native TF-free GCS client (utils/gcs.py — JSON API over urllib) whenever
+it can authenticate (emulator, explicit token, metadata server, ADC), with
+``tf.io.gfile`` as a fallback for exotic auth setups.  The core framework
+carries no TF dependency.
 """
 
 import glob as _glob
@@ -16,6 +18,15 @@ def is_remote(path: str) -> bool:
     return isinstance(path, str) and path.startswith("gs://")
 
 
+def _gcs_native():
+    """The native client module when it can authenticate, else None."""
+    if os.environ.get("SRT_GCS_NATIVE", "1") != "1":
+        return None
+    from . import gcs
+
+    return gcs if gcs.available() else None
+
+
 def _gfile():
     try:
         from tensorflow.io import gfile  # type: ignore
@@ -23,7 +34,9 @@ def _gfile():
         return gfile
     except Exception as e:  # pragma: no cover - only hit without TF
         raise NotImplementedError(
-            "gs:// paths require a GCS backend (tensorflow.io.gfile) which is unavailable"
+            "gs:// paths require GCS credentials for the native client "
+            "(utils/gcs.py: STORAGE_EMULATOR_HOST / GCS_OAUTH_TOKEN / metadata "
+            "server / application default credentials) or tensorflow.io.gfile"
         ) from e
 
 
@@ -36,31 +49,48 @@ def path_join(*paths: str) -> str:
 
 def open_file(path: str, mode: str = "r"):
     if is_remote(path):
+        gcs = _gcs_native()
+        if gcs is not None:
+            return gcs.GFile(path, mode)
         return _gfile().GFile(path, mode)
     return open(path, mode)
 
 
 def glob(pattern: str) -> List[str]:
     if is_remote(pattern):
+        gcs = _gcs_native()
+        if gcs is not None:
+            return gcs.glob(pattern)
         return sorted(_gfile().glob(pattern))
     return sorted(_glob.glob(pattern))
 
 
 def makedirs(path: str) -> None:
     if is_remote(path):
-        _gfile().makedirs(path)
+        gcs = _gcs_native()
+        if gcs is not None:
+            gcs.makedirs(path)
+        else:
+            _gfile().makedirs(path)
     else:
         os.makedirs(path, exist_ok=True)
 
 
 def copy(src: str, dst: str, overwrite: bool = True) -> None:
     if is_remote(src) or is_remote(dst):
-        _gfile().copy(src, dst, overwrite=overwrite)
+        gcs = _gcs_native()
+        if gcs is not None:
+            gcs.copy(src, dst, overwrite=overwrite)
+        else:
+            _gfile().copy(src, dst, overwrite=overwrite)
     else:
         shutil.copy(src, dst)
 
 
 def exists(path: str) -> bool:
     if is_remote(path):
+        gcs = _gcs_native()
+        if gcs is not None:
+            return gcs.exists(path)
         return _gfile().exists(path)
     return os.path.exists(path)

@@ -1,0 +1,165 @@
+"""Native TF-free GCS client (utils/gcs.py) against a local fake GCS server.
+
+Drives the REAL HTTP path — urllib against a threaded in-process server
+implementing the GCS JSON API subset the client uses (download media,
+media upload, objects.list, objects.get, copyTo) — via the standard
+``STORAGE_EMULATOR_HOST`` mechanism.  This closes round-1 coverage item
+#33: gs:// no longer requires tensorflow.io.gfile.
+"""
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from speech_recognition_tpu.utils import gcs, io
+
+
+class FakeGCSHandler(BaseHTTPRequestHandler):
+    store = {}  # (bucket, name) -> bytes
+
+    def log_message(self, *a):
+        pass
+
+    def _send(self, code, payload=b"", ctype="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        parts = [urllib.parse.unquote(p) for p in parsed.path.split("/") if p]
+        # /storage/v1/b/{bucket}/o            -> list
+        # /storage/v1/b/{bucket}/o/{object}   -> metadata or ?alt=media
+        if parts[:3] == ["storage", "v1", "b"] and len(parts) >= 5 and parts[4] == "o":
+            bucket = parts[3]
+            if len(parts) == 5:  # list
+                prefix = qs.get("prefix", [""])[0]
+                items = [
+                    {"name": name}
+                    for (b, name) in sorted(self.store)
+                    if b == bucket and name.startswith(prefix)
+                ]
+                return self._send(200, json.dumps({"items": items}).encode())
+            obj = "/".join(parts[5:])
+            key = (bucket, obj)
+            if key not in self.store:
+                return self._send(404, b"{}")
+            if qs.get("alt") == ["media"]:
+                return self._send(200, self.store[key], "application/octet-stream")
+            return self._send(200, json.dumps({"name": obj, "size": str(len(self.store[key]))}).encode())
+        return self._send(404, b"{}")
+
+    def do_POST(self):
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        parts = [urllib.parse.unquote(p) for p in parsed.path.split("/") if p]
+        # /upload/storage/v1/b/{bucket}/o?uploadType=media&name=...
+        if parts[:4] == ["upload", "storage", "v1", "b"]:
+            bucket = parts[4]
+            name = qs["name"][0]
+            self.store[(bucket, name)] = body
+            return self._send(200, json.dumps({"name": name}).encode())
+        # /storage/v1/b/{sb}/o/{so}/copyTo/b/{db}/o/{do}
+        if "copyTo" in parts:
+            i = parts.index("copyTo")
+            sb, so = parts[3], "/".join(parts[5:i])
+            db, do = parts[i + 2], "/".join(parts[i + 4:])
+            if (sb, so) not in self.store:
+                return self._send(404, b"{}")
+            self.store[(db, do)] = self.store[(sb, so)]
+            return self._send(200, b"{}")
+        return self._send(404, b"{}")
+
+
+@pytest.fixture()
+def fake_gcs(monkeypatch):
+    FakeGCSHandler.store = {}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), FakeGCSHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    monkeypatch.setenv("STORAGE_EMULATOR_HOST", f"http://127.0.0.1:{server.server_port}")
+    yield FakeGCSHandler.store
+    server.shutdown()
+
+
+def test_write_read_roundtrip(fake_gcs):
+    with io.open_file("gs://bkt/dir/x.txt", "w") as f:
+        f.write("hello gcs")
+    assert fake_gcs[("bkt", "dir/x.txt")] == b"hello gcs"
+    with io.open_file("gs://bkt/dir/x.txt") as f:
+        assert f.read() == "hello gcs"
+    with io.open_file("gs://bkt/dir/x.txt", "rb") as f:
+        assert f.read() == b"hello gcs"
+
+
+def test_binary_and_append(fake_gcs):
+    with io.open_file("gs://bkt/b.bin", "wb") as f:
+        f.write(b"\x00\x01\xff")
+    with io.open_file("gs://bkt/b.bin", "ab") as f:
+        f.write(b"tail")
+    assert fake_gcs[("bkt", "b.bin")] == b"\x00\x01\xfftail"
+
+
+def test_glob_and_exists(fake_gcs):
+    for name in ("data/a.tsv", "data/b.tsv", "data/deep/c.tsv", "other.txt"):
+        gcs.write_bytes(f"gs://bkt/{name}", b"x")
+    assert io.glob("gs://bkt/data/*.tsv") == [
+        "gs://bkt/data/a.tsv",
+        "gs://bkt/data/b.tsv",
+    ]
+    assert io.exists("gs://bkt/data/a.tsv")
+    assert io.exists("gs://bkt/data")  # prefix counts as a directory
+    assert not io.exists("gs://bkt/nope.txt")
+
+
+def test_copy_remote_and_cross(fake_gcs, tmp_path):
+    gcs.write_bytes("gs://bkt/src.txt", b"payload")
+    io.copy("gs://bkt/src.txt", "gs://bkt/dst.txt")
+    assert fake_gcs[("bkt", "dst.txt")] == b"payload"
+    with pytest.raises(FileExistsError):
+        io.copy("gs://bkt/src.txt", "gs://bkt/dst.txt", overwrite=False)
+    # download / upload across the gs:// boundary
+    local = tmp_path / "local.txt"
+    io.copy("gs://bkt/src.txt", str(local))
+    assert local.read_bytes() == b"payload"
+    io.copy(str(local), "gs://bkt/up.txt")
+    assert fake_gcs[("bkt", "up.txt")] == b"payload"
+
+
+def test_missing_object_raises(fake_gcs):
+    with pytest.raises(FileNotFoundError):
+        gcs.read_bytes("gs://bkt/absent")
+
+
+def test_dataset_reads_from_gcs(fake_gcs):
+    """End-to-end: the tsv reader resolves gs:// audio paths and the audio
+    loader streams the bytes through the native client."""
+    from speech_recognition_tpu.data.dataset import get_dataset, read_tsv_rows
+    from tests.const import TEST_DATA_DIR
+    import os
+
+    wav = open(os.path.join(TEST_DATA_DIR, "audio_files", "test.wav"), "rb").read()
+    gcs.write_bytes("gs://bkt/ds/audio/test.wav", wav)
+    gcs.write_bytes(
+        "gs://bkt/ds/data.tsv", b"FilePath\tText\naudio/test.wav\thello remote\n"
+    )
+    rows = read_tsv_rows("gs://bkt/ds/data.tsv")
+    assert rows == [("gs://bkt/ds/audio/test.wav", "hello remote")]
+
+    class Tok:
+        def tokenize(self, text):
+            return [ord(c) for c in text]
+
+    pairs = list(get_dataset("gs://bkt/ds/data.tsv", "wav", 22050, Tok()))
+    assert len(pairs) == 1
+    audio, tokens = pairs[0]
+    assert audio.ndim == 1 and audio.size > 1000
+    assert bytes(tokens.tolist()).decode() == "hello remote"
