@@ -44,6 +44,24 @@ class LASSearcher:
         keys = self.model.apply(self.variables, enc_out, method=LAS.project_keys)
         return enc_out, keys, mask, tuple(states)
 
+    def _decoder_params(self):
+        """Raw decoder parameter arrays (model compute dtype) for the fused
+        Pallas search kernels; paths match the checkpoint layout."""
+        p = self.variables["params"]["attend_and_speller"]
+        dt = self.model.dtype
+        emb = p["embedding"]["embedding"].astype(dt)
+        qw = p["attention"]["query_weight"]["kernel"].astype(dt)
+        qb = p["attention"]["query_weight"]["bias"].astype(dt)
+        ks, rs, bs = [], [], []
+        for i in range(self.model.num_decoder_layers):
+            cell = p[f"decoder_layer{i}"]
+            ks.append(cell["kernel"].astype(dt))
+            rs.append(cell["recurrent_kernel"].astype(dt))
+            bs.append(cell["bias"].astype(dt))
+        vw = p["feedforward"]["kernel"].astype(dt)
+        vb = p["feedforward"]["bias"].astype(jnp.float32)
+        return emb, qw, qb, tuple(ks), tuple(rs), tuple(bs), vw, vb
+
     def _step(self, enc_out, keys, tokens, mask, states):
         return self.model.apply(self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step)
 
@@ -56,6 +74,21 @@ class LASSearcher:
         B = audio_input.shape[0]
         L = self.max_token_length
         enc_out, keys, mask, states = self._encode(audio_input)
+
+        # fused Pallas decode loop (ops/pallas/search_kernel.py): all decode
+        # operands VMEM-resident across the steps; identical outputs
+        from .ops.pallas.search_kernel import greedy_pallas_supported, greedy_search_pallas
+
+        emb, qw, qb, ks, rs, bs, vw, vb = self._decoder_params()
+        if (
+            L > 1
+            and len(states) == 2
+            and greedy_pallas_supported(keys, enc_out, emb, vw, ks, self.model.rnn_type)
+        ):
+            return greedy_search_pallas(
+                keys, enc_out, mask, qw, qb, emb, vw, vb, ks, rs, bs,
+                states[0], states[1], L, self.bos_id, self.eos_id, self.pad_id,
+            )
 
         tokens = jnp.full((B, L), self.pad_id, jnp.int32).at[:, 0].set(self.bos_id)
         is_ended = jnp.zeros((B,), bool)
