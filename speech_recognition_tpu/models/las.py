@@ -118,19 +118,28 @@ class Attention(nn.Module):
         return key @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
     def __call__(self, query, key, value, attention_mask, projected_key=None):
-        """query [B,H], key/value [B,S,*], mask [B,S] -> context [B,Dv].
+        """query [B,H] (or [B,K,H] for K beams), key/value [B,S,*],
+        mask [B,S] -> context [B,Dv] (or [B,K,Dv]).
 
         Pass ``projected_key`` (from project_keys) to skip the per-step key
-        projection on the decode hot path.
+        projection on the decode hot path.  The multi-query form lets beam
+        search attend all K hypotheses of a batch element over ONE copy of
+        the (projected) listener output instead of tiling it K-fold — the
+        per-row math is identical, only the batching of the score/context
+        contractions changes.
         """
         if projected_key is None:
             projected_key = self.project_keys(key)
         qk, qb = self.query_params(query.shape[-1])
-        q = (query @ qk + qb)[:, None, :]  # [B,1,H]
+        single = query.ndim == 2
+        q = query @ qk + qb
+        if single:
+            q = q[:, None, :]  # [B,1,H]
         scores = jnp.einsum("bqh,bsh->bqs", q, projected_key)
         scores = scores - 1e9 * (1.0 - attention_mask[:, None, :].astype(scores.dtype))
         probs = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("bqs,bsd->bd", probs, value)
+        ctx = jnp.einsum("bqs,bsd->bqd", probs, value)
+        return ctx[:, 0] if single else ctx
 
 
 class Listener(nn.Module):
@@ -285,7 +294,10 @@ class AttendAndSpeller(nn.Module):
             states[0], audio_output, audio_output, attention_mask, projected_key=projected_keys
         )
         x = jnp.concatenate([x, context], axis=-1)
+        return self._speller_cells(x, token_mask, states, dropout_masks)
 
+    def _speller_cells(self, x, token_mask, states: Tuple, dropout_masks=None):
+        """The stacked-cell tail of a decode step ([emb, ctx] -> hidden)."""
         n = num_states(self.rnn_type)
         for i, cell in enumerate(self.cells):
             kernel, recurrent_kernel, bias = cell(x.shape[-1])
@@ -325,6 +337,37 @@ class AttendAndSpeller(nn.Module):
         x, states = self.step_hidden(
             audio_output, projected_keys, decoder_input, attention_mask, states, dropout_masks
         )
+        return self.feedforward(x), states
+
+    def step_beam(self, audio_output, projected_keys, decoder_input, attention_mask, states: Tuple):
+        """One decode step for K beams per batch element over UNTILED
+        listener operands.
+
+        The reference beam loop tiles the encoder output/keys/mask to B*K
+        rows (search.py:141-153), so every step re-streams K copies of the
+        two large attention operands from HBM.  Here only the decoder
+        states are per-beam ([B*K, H] rows, beam-major within each batch
+        element — same layout the tiled path used); attention runs with a
+        K-query axis over one copy of keys/values.  Per-row arithmetic is
+        identical to ``step``.
+
+        :param decoder_input: [B, K] int32 previous tokens
+        :param states: flat state tuple of [B*K, H] arrays
+        :return: (logits [B*K, V], new_states)
+        """
+        B, K = decoder_input.shape
+        flat = decoder_input.reshape(B * K)
+        token_mask = (flat != self.pad_id)[:, None].astype(self.dtype)
+        x = self.embedding(flat)
+        context = self.attention(
+            states[0].reshape(B, K, -1),
+            audio_output,
+            audio_output,
+            attention_mask,
+            projected_key=projected_keys,
+        ).reshape(B * K, -1)
+        x = jnp.concatenate([x, context], axis=-1)
+        x, states = self._speller_cells(x, token_mask, states)
         return self.feedforward(x), states
 
 
@@ -378,6 +421,13 @@ class LAS(ModelProto):
 
     def decode_step(self, audio_output, projected_keys, decoder_input, attention_mask, states):
         return self.attend_and_speller.step(
+            audio_output, projected_keys, decoder_input, attention_mask, states
+        )
+
+    def decode_step_beam(self, audio_output, projected_keys, decoder_input, attention_mask, states):
+        """Beam decode step over untiled listener operands (see
+        AttendAndSpeller.step_beam)."""
+        return self.attend_and_speller.step_beam(
             audio_output, projected_keys, decoder_input, attention_mask, states
         )
 

@@ -25,6 +25,39 @@ import jax.numpy as jnp
 from .models import LAS, DeepSpeech2
 
 
+def topk_inloop(x: jnp.ndarray, k: int):
+    """Exact top-k along the last axis for use INSIDE device loops.
+
+    ``jax.lax.top_k`` lowers to a TopK custom call that is fast standalone
+    (~0.07 ms at [1024,16000]) but pathological inside a compiled
+    while/fori body on TPU (measured 0.8-12 ms per iteration at the same
+    shape).  k rounds of (max, first-argmax, mask) fuse into plain VPU
+    passes and cost ~0.46 ms at [1024,16000] k=8 in-loop.  Matches
+    ``jax.lax.top_k`` bitwise, including tie order (both prefer lower
+    indices; verified on random bf16 logits).
+
+    :param x: [..., V]; any float dtype
+    :return: (values [..., k] same dtype, indices [..., k] int32)
+    """
+    V = x.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    neg = jnp.finfo(x.dtype).min
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        i = jnp.min(jnp.where(x == m, cols, V), axis=-1, keepdims=True)
+        vals.append(m)
+        idxs.append(i)
+        x = jnp.where(cols == i, neg, x)
+    return jnp.concatenate(vals, -1), jnp.concatenate(idxs, -1)
+
+
+# Note: a packed-int32 variant (bf16 bits + index in one word, one max pass
+# per round) was measured WORSE in the real beam loop (149 vs 124 ms batch
+# decode) — int32 doubles the bytes per VPU pass, cancelling the saved
+# passes.  Keep the plain masked-argmax rounds.
+
+
 class LASSearcher:
     """Greedy / beam search over a trained LAS model (reference search.py:6-209)."""
 
@@ -64,6 +97,13 @@ class LASSearcher:
 
     def _step(self, enc_out, keys, tokens, mask, states):
         return self.model.apply(self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step)
+
+    def _step_beam(self, enc_out, keys, tokens, mask, states):
+        """K-beam step over UNTILED encoder operands: tokens [B,K], states
+        [B*K,H] rows -> (logits [B*K,V], new_states)."""
+        return self.model.apply(
+            self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step_beam
+        )
 
     # ------------------------------------------------------------------ greedy
     def greedy_search(self, audio_input) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -133,8 +173,9 @@ class LASSearcher:
 
         # first decode step from BOS initializes the beams (reference search.py:141-153)
         logits0, states0 = self._step(enc_out, keys, jnp.full((B,), self.bos_id, jnp.int32), mask, states)
-        lp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
-        top_logp, top_tokens = jax.lax.top_k(lp0, K)  # [B, K]
+        lse0 = jax.nn.logsumexp(logits0.astype(jnp.float32), axis=-1, keepdims=True)
+        top_raw0, top_tokens = jax.lax.top_k(jax.lax.optimization_barrier(logits0), K)
+        top_logp = top_raw0.astype(jnp.float32) - lse0  # [B, K]
 
         tokens = jnp.full((B, K, L), self.pad_id, jnp.int32)
         tokens = tokens.at[:, :, 0].set(self.bos_id).at[:, :, 1].set(top_tokens)
@@ -143,7 +184,16 @@ class LASSearcher:
         def tile(x):
             return jnp.repeat(x, K, axis=0)
 
-        enc_out_t, keys_t, mask_t = tile(enc_out), tile(keys), tile(mask)
+        # Decoder states are per-beam ([B*K, H], beam-major rows); the big
+        # encoder operands are NOT tiled — step_beam attends all K beams
+        # over one copy (the reference tiles them K-fold, search.py:141-153,
+        # which re-streams K copies of keys/values from HBM every step).
+        # SRT_BEAM_UNTILED=0 restores the tiled layout for A/B.
+        import os
+
+        untiled = os.environ.get("SRT_BEAM_UNTILED", "1") == "1"
+        if not untiled:
+            enc_out_t, keys_t, mask_t = tile(enc_out), tile(keys), tile(mask)
         states_t = tuple(tile(s) for s in states0)
 
         def seq_lengths(tokens, cur_len):
@@ -161,9 +211,16 @@ class LASSearcher:
         def body(carry):
             step, tokens, logp, states = carry
             last = jax.lax.dynamic_index_in_dim(tokens.reshape(B * K, L), step - 1, axis=1, keepdims=False)
-            logits, new_states = self._step(enc_out_t, keys_t, last, mask_t, states)
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            step_lp, cand_tokens = jax.lax.top_k(lp, K)  # [B*K, K]
+            if untiled:
+                logits, new_states = self._step_beam(enc_out, keys, last.reshape(B, K), mask, states)
+            else:
+                logits, new_states = self._step(enc_out_t, keys_t, last, mask_t, states)
+            # top-k on the RAW logits, normalizing only the K winners
+            # (log_softmax is monotone per row, so the selection is
+            # identical but the [B*K,V] normalized tensor is never formed)
+            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
+            top_raw, cand_tokens = topk_inloop(logits, K)
+            step_lp = top_raw.astype(jnp.float32) - lse  # [B*K, K]
             step_lp = step_lp.reshape(B, K, K)
             cand_tokens = cand_tokens.reshape(B, K, K)
 
@@ -177,7 +234,7 @@ class LASSearcher:
             penalty = ((1.0 + cand_len.astype(jnp.float32)) / (1.0 + beta)) ** alpha
             scores = (cand_logp * penalty).reshape(B, K * K)
 
-            _, top_idx = jax.lax.top_k(scores, K)  # [B, K]
+            _, top_idx = topk_inloop(scores, K)  # [B, K]
             beam_idx = top_idx // K
             tok_idx = top_idx % K
 
@@ -294,7 +351,8 @@ def ctc_beam_decode(log_probs: jnp.ndarray, blank_index: int, beam_size: int):
         blank_lp = lp_t[:, blank_index]  # [B]
         top_lp, top_tok = jax.lax.top_k(
             lp_t.at[:, blank_index].set(NEG), P
-        )  # [B, P] best non-blank tokens
+        )  # [B, P] best non-blank tokens (in-scan TopK is fine at this
+        # row count; topk_inloop measured slower here — see its docstring)
 
         total = lse(pb, pnb)  # [B, K]
         last = jnp.take_along_axis(

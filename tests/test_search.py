@@ -170,3 +170,46 @@ def test_deepspeech_searcher_end_to_end_shapes():
     # beam scores are sorted descending
     bp = np.asarray(beam_prob)
     assert (np.diff(bp, axis=1) <= 1e-6).all()
+
+
+def test_topk_inloop_matches_lax_top_k():
+    """topk_inloop (the in-loop top-k used by LAS beam search) must match
+    jax.lax.top_k bitwise — values, indices, and tie order — on random
+    values with duplicates, in f32 and bf16."""
+    from speech_recognition_tpu.search import topk_inloop
+
+    rng = jax.random.PRNGKey(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(rng, (16, 1000)).astype(dtype)
+        # inject duplicates/ties
+        x = x.at[:, 100].set(x[:, 3]).at[:, 500].set(x[:, 3])
+        rv, ri = jax.lax.top_k(x, 8)
+        pv, pi = topk_inloop(x, 8)
+        np.testing.assert_array_equal(np.asarray(rv), np.asarray(pv))
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(pi))
+
+
+def test_las_beam_untiled_matches_tiled():
+    """The untiled beam attention (models/las.py step_beam, default) must
+    produce the same decodes as the reference tiled layout."""
+    import os
+
+    rng = jax.random.PRNGKey(5)
+    model = LAS("lstm", 80, 24, 24, 2, 2, 0.0, 1.0)
+    audio = jax.random.uniform(rng, (3, 20, 12, 3), maxval=20.0)
+    tokens = jax.random.randint(rng, (3, 7), 0, 80)
+    variables = model.init({"params": rng}, (audio, tokens))
+
+    prev = os.environ.get("SRT_BEAM_UNTILED")
+    try:
+        os.environ["SRT_BEAM_UNTILED"] = "0"
+        tiled = LASSearcher(model, variables, max_token_length=11, bos_id=2, eos_id=3).beam_search(audio, 4)
+        os.environ["SRT_BEAM_UNTILED"] = "1"
+        untiled = LASSearcher(model, variables, max_token_length=11, bos_id=2, eos_id=3).beam_search(audio, 4)
+    finally:
+        if prev is None:
+            os.environ.pop("SRT_BEAM_UNTILED", None)
+        else:
+            os.environ["SRT_BEAM_UNTILED"] = prev
+    np.testing.assert_array_equal(np.asarray(tiled[0]), np.asarray(untiled[0]))
+    np.testing.assert_allclose(np.asarray(tiled[1]), np.asarray(untiled[1]), rtol=1e-4)
