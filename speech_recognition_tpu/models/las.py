@@ -355,6 +355,15 @@ class AttendAndSpeller(nn.Module):
         :param states: flat state tuple of [B*K, H] arrays
         :return: (logits [B*K, V], new_states)
         """
+        x, states = self.step_beam_hidden(
+            audio_output, projected_keys, decoder_input, attention_mask, states
+        )
+        return self.feedforward(x), states
+
+    def step_beam_hidden(self, audio_output, projected_keys, decoder_input, attention_mask, states: Tuple):
+        """``step_beam`` up to (but not including) the vocab projection, so
+        the search loop can fuse projection + top-k + logsumexp in one
+        Pallas kernel (ops/pallas/topk_kernel.py)."""
         B, K = decoder_input.shape
         flat = decoder_input.reshape(B * K)
         token_mask = (flat != self.pad_id)[:, None].astype(self.dtype)
@@ -367,8 +376,7 @@ class AttendAndSpeller(nn.Module):
             projected_key=projected_keys,
         ).reshape(B * K, -1)
         x = jnp.concatenate([x, context], axis=-1)
-        x, states = self._speller_cells(x, token_mask, states)
-        return self.feedforward(x), states
+        return self._speller_cells(x, token_mask, states)
 
 
 class LAS(ModelProto):
@@ -428,6 +436,13 @@ class LAS(ModelProto):
         """Beam decode step over untiled listener operands (see
         AttendAndSpeller.step_beam)."""
         return self.attend_and_speller.step_beam(
+            audio_output, projected_keys, decoder_input, attention_mask, states
+        )
+
+    def decode_step_beam_hidden(self, audio_output, projected_keys, decoder_input, attention_mask, states):
+        """Beam decode step stopping before the vocab projection (for the
+        fused projection+top-k+logsumexp search kernel)."""
+        return self.attend_and_speller.step_beam_hidden(
             audio_output, projected_keys, decoder_input, attention_mask, states
         )
 

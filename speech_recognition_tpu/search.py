@@ -105,6 +105,13 @@ class LASSearcher:
             self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step_beam
         )
 
+    def _step_beam_hidden(self, enc_out, keys, tokens, mask, states):
+        """Beam step stopping before the vocab projection (fused
+        projection+top-k+logsumexp Pallas path)."""
+        return self.model.apply(
+            self.variables, enc_out, keys, tokens, mask, states, method=LAS.decode_step_beam_hidden
+        )
+
     # ------------------------------------------------------------------ greedy
     def greedy_search(self, audio_input) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """:return: (tokens [B, max_token_length], perplexity [B])."""
@@ -196,6 +203,19 @@ class LASSearcher:
             enc_out_t, keys_t, mask_t = tile(enc_out), tile(keys), tile(mask)
         states_t = tuple(tile(s) for s in states0)
 
+        # fused vocab-projection + top-k + logsumexp Pallas kernel for the
+        # loop body (the in-loop XLA alternatives are measured slower; see
+        # ops/pallas/topk_kernel.py).  SRT_PALLAS_BEAM_TOPK=0 reverts.
+        from .ops.pallas.topk_kernel import vocab_topk_pallas, vocab_topk_pallas_supported
+
+        vw = vb = None
+        if untiled and os.environ.get("SRT_PALLAS_BEAM_TOPK", "1") == "1":
+            p = self.variables["params"]["attend_and_speller"]["feedforward"]
+            hid_probe = jax.ShapeDtypeStruct((B * K, p["kernel"].shape[0]), self.model.dtype)
+            if vocab_topk_pallas_supported(hid_probe, p["kernel"], K):
+                vw = p["kernel"].astype(self.model.dtype)
+                vb = p["bias"].astype(self.model.dtype)
+
         def seq_lengths(tokens, cur_len):
             """First-EOS position + 1 else current length (reference search.py:106-116)."""
             is_eos = tokens == self.eos_id
@@ -211,16 +231,21 @@ class LASSearcher:
         def body(carry):
             step, tokens, logp, states = carry
             last = jax.lax.dynamic_index_in_dim(tokens.reshape(B * K, L), step - 1, axis=1, keepdims=False)
-            if untiled:
-                logits, new_states = self._step_beam(enc_out, keys, last.reshape(B, K), mask, states)
+            if vw is not None:
+                hidden, new_states = self._step_beam_hidden(enc_out, keys, last.reshape(B, K), mask, states)
+                top_raw, cand_tokens, lse = vocab_topk_pallas(hidden, vw, vb, K)
+                step_lp = top_raw - lse[:, None]  # [B*K, K]
             else:
-                logits, new_states = self._step(enc_out_t, keys_t, last, mask_t, states)
-            # top-k on the RAW logits, normalizing only the K winners
-            # (log_softmax is monotone per row, so the selection is
-            # identical but the [B*K,V] normalized tensor is never formed)
-            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
-            top_raw, cand_tokens = topk_inloop(logits, K)
-            step_lp = top_raw.astype(jnp.float32) - lse  # [B*K, K]
+                if untiled:
+                    logits, new_states = self._step_beam(enc_out, keys, last.reshape(B, K), mask, states)
+                else:
+                    logits, new_states = self._step(enc_out_t, keys_t, last, mask_t, states)
+                # top-k on the RAW logits, normalizing only the K winners
+                # (log_softmax is monotone per row, so the selection is
+                # identical but the [B*K,V] normalized tensor is never formed)
+                lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
+                top_raw, cand_tokens = topk_inloop(logits, K)
+                step_lp = top_raw.astype(jnp.float32) - lse  # [B*K, K]
             step_lp = step_lp.reshape(B, K, K)
             cand_tokens = cand_tokens.reshape(B, K, K)
 

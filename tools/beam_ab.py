@@ -45,10 +45,15 @@ def run(label):
     return out
 
 
+os.environ["SRT_PALLAS_BEAM_TOPK"] = "0"
 os.environ["SRT_BEAM_UNTILED"] = "0"
 ref = run("tiled (reference layout)")
 os.environ["SRT_BEAM_UNTILED"] = "1"
 new = run("untiled beam attention  ")
+os.environ["SRT_PALLAS_BEAM_TOPK"] = "1"
+fused = run("+ pallas vocab topk     ")
+mismf = int((new != fused).sum())
+print(f"fused-vs-untiled mismatches (random init): {mismf} / {new.size} ({100.0*mismf/new.size:.3f}%)")
 
 # Both paths are XLA with identical per-row arithmetic; on a random-init
 # model a one-ULP bf16 regrouping difference can still flip near-tie
