@@ -86,13 +86,21 @@ def vocab_topk_pallas_supported(hid, W, k: int) -> bool:
     return vmem <= 96 * 2**20
 
 
-def _kernel(k, V, Vc, refs):
-    hid_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref = refs
-    R, H = hid_ref.shape
+def streaming_vocab_topk(hid, w_ref, b_ref, V: int, Vc: int, k: int):
+    """Shared in-kernel body: top-k + logsumexp of the bf16-rounded vocab
+    projection ``hid @ W + b``, streaming over Vc-wide chunks.
+
+    Usable inside any Pallas kernel (also the beam mega-kernel,
+    beam_kernel.py).  ``hid`` is a [R, H] bf16 VALUE; ``w_ref``/``b_ref``
+    are [H, V] / [1, V] refs (bf16).
+
+    :return: (vals [R, k] f32 — bf16-rounded logits, idx [R, k] i32 with
+        lax.top_k tie order, lse [R, 1] f32)
+    """
+    R = hid.shape[0]
     n_chunks = V // Vc
     n_groups = Vc // 128
 
-    hid = hid_ref[:]
     vregs = [jnp.full((R, 128), _NEG, jnp.float32) for _ in range(k)]
     iregs = [jnp.zeros((R, 128), jnp.int32) for _ in range(k)]
     run_max = jnp.full((R, 1), _NEG, jnp.float32)
@@ -141,10 +149,20 @@ def _kernel(k, V, Vc, refs):
         out_i.append(sel)
         cand_v = jnp.where((cand_v == m) & (cand_i == sel), _NEG, cand_v)
 
-    pad = [jnp.zeros((R, 1), jnp.float32)] * (128 - k)
-    vals_ref[:] = jnp.concatenate(out_v + pad, axis=-1)
-    idx_ref[:] = jnp.concatenate(out_i + [jnp.zeros((R, 1), jnp.int32)] * (128 - k), axis=-1)
-    lse_ref[:] = jnp.broadcast_to(jnp.log(run_sum) + run_max, (R, 128))
+    vals = jnp.concatenate(out_v, axis=-1)
+    idx = jnp.concatenate(out_i, axis=-1)
+    lse = jnp.log(run_sum) + run_max
+    return vals, idx, lse
+
+
+def _kernel(k, V, Vc, refs):
+    hid_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref = refs
+    R = hid_ref.shape[0]
+    vals, idx, lse = streaming_vocab_topk(hid_ref[:], w_ref, b_ref, V, Vc, k)
+    padf = [jnp.zeros((R, 1), jnp.float32)] * (128 - k)
+    vals_ref[:] = jnp.concatenate([vals] + padf, axis=-1)
+    idx_ref[:] = jnp.concatenate([idx] + [jnp.zeros((R, 1), jnp.int32)] * (128 - k), axis=-1)
+    lse_ref[:] = jnp.broadcast_to(lse, (R, 128))
 
 
 def vocab_topk_pallas(hid, W, b, k: int):

@@ -69,7 +69,9 @@ class LASSearcher:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self._greedy = jax.jit(self._greedy_impl)
-        self._beam = jax.jit(self._beam_impl, static_argnums=(1,))
+        # alpha/beta static too: the Pallas beam kernel bakes the length
+        # penalty into its compiled body (callers pass python floats)
+        self._beam = jax.jit(self._beam_impl, static_argnums=(1, 2, 3))
 
     # ------------------------------------------------------------------ common
     def _encode(self, audio_input):
@@ -203,9 +205,49 @@ class LASSearcher:
             enc_out_t, keys_t, mask_t = tile(enc_out), tile(keys), tile(mask)
         states_t = tuple(tile(s) for s in states0)
 
-        # fused vocab-projection + top-k + logsumexp Pallas kernel for the
-        # loop body (the in-loop XLA alternatives are measured slower; see
-        # ops/pallas/topk_kernel.py).  SRT_PALLAS_BEAM_TOPK=0 reverts.
+        def seq_lengths(tokens, cur_len):
+            """First-EOS position + 1 else current length (reference search.py:106-116)."""
+            is_eos = tokens == self.eos_id
+            any_eos = jnp.any(is_eos, axis=-1)
+            first = jnp.argmax(is_eos, axis=-1)
+            return jnp.where(any_eos, first + 1, cur_len).astype(jnp.int32)
+
+        def finish(tokens, logp):
+            """Shared while_loop tail: pad after EOS + per-beam perplexity."""
+            lens = seq_lengths(tokens, L)  # [B, K]
+            pos = jnp.arange(L)[None, None, :]
+            tokens = jnp.where(pos < lens[:, :, None], tokens, self.pad_id)
+            perplexity = jnp.exp(logp) ** (-1.0 / lens.astype(jnp.float32))
+            return tokens, perplexity
+
+        # ---- whole-loop Pallas mega-kernel (ops/pallas/beam_kernel.py):
+        # the entire decode loop as one pallas_call with VMEM-resident
+        # operands.  SRT_PALLAS_BEAM=0 reverts to the XLA while_loop.
+        from .ops.pallas.beam_kernel import beam_pallas_supported, beam_search_pallas
+
+        if (
+            untiled
+            and len(states_t) == 2
+            and beam_pallas_supported(
+                keys, enc_out, self.variables["params"]["attend_and_speller"]["embedding"]["embedding"],
+                self.variables["params"]["attend_and_speller"]["feedforward"]["kernel"],
+                [self.variables["params"]["attend_and_speller"][f"decoder_layer{i}"]["kernel"]
+                 for i in range(self.model.num_decoder_layers)],
+                self.model.rnn_type, K, L,
+            )
+        ):
+            emb, qw, qb, ks, rs, bs, vw_full, vb_full = self._decoder_params()
+            toks, logp = beam_search_pallas(
+                keys, enc_out, mask, qw, qb, emb, vw_full,
+                vb_full.astype(self.model.dtype),
+                ks, rs, bs, states_t[0], states_t[1], tokens, log_perplexity,
+                L, self.bos_id, self.eos_id, self.pad_id, float(alpha), float(beta),
+            )
+            return finish(toks, logp)
+
+        # ---- fused vocab-projection + top-k + logsumexp Pallas kernel for
+        # the loop body (the in-loop XLA alternatives are measured slower;
+        # see ops/pallas/topk_kernel.py).  SRT_PALLAS_BEAM_TOPK=0 reverts.
         from .ops.pallas.topk_kernel import vocab_topk_pallas, vocab_topk_pallas_supported
 
         vw = vb = None
@@ -215,13 +257,6 @@ class LASSearcher:
             if vocab_topk_pallas_supported(hid_probe, p["kernel"], K):
                 vw = p["kernel"].astype(self.model.dtype)
                 vb = p["bias"].astype(self.model.dtype)
-
-        def seq_lengths(tokens, cur_len):
-            """First-EOS position + 1 else current length (reference search.py:106-116)."""
-            is_eos = tokens == self.eos_id
-            any_eos = jnp.any(is_eos, axis=-1)
-            first = jnp.argmax(is_eos, axis=-1)
-            return jnp.where(any_eos, first + 1, cur_len).astype(jnp.int32)
 
         def cond(carry):
             step, tokens, logp, states = carry
@@ -283,12 +318,7 @@ class LASSearcher:
 
         carry = (jnp.int32(2), tokens, log_perplexity, states_t)
         _, tokens, logp, _ = jax.lax.while_loop(cond, body, carry)
-
-        lens = seq_lengths(tokens, L)  # [B, K]
-        pos = jnp.arange(L)[None, None, :]
-        tokens = jnp.where(pos < lens[:, :, None], tokens, self.pad_id)
-        perplexity = jnp.exp(logp) ** (-1.0 / lens.astype(jnp.float32))
-        return tokens, perplexity
+        return finish(tokens, logp)
 
 
 def ctc_greedy_decode(log_probs: jnp.ndarray, blank_index: int):

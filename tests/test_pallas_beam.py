@@ -1,0 +1,124 @@
+"""Beam-search mega-kernel parity (interpret mode).
+
+Two-level strategy, mirroring the greedy kernel's (tests/test_pallas_search.py):
+
+1. EXACT: the pallas_call must match ``beam_loop_reference`` — the same
+   `_beam_step_math` run as a plain-jnp loop — bit-for-bit.  This pins all
+   the Pallas mechanics (scratch carries, grid stepping, ref writes,
+   k-major slab layout, output flushing) with zero numeric wiggle room.
+2. ENVELOPE: vs the XLA fused-top-k loop path, token/score differences are
+   bounded: the two paths' hidden-state arithmetic differs at bf16-ULP
+   level (XLA fuses/elides rounds differently than the kernel's explicit
+   f32 math), which on a random-init model occasionally swaps near-tie
+   beams — same documented envelope as the greedy kernel and the on-chip
+   audit in tools/beam_ab.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from speech_recognition_tpu.models import LAS
+from speech_recognition_tpu.ops.pallas import beam_kernel as bk
+from speech_recognition_tpu.parallel import get_device_mesh
+from speech_recognition_tpu.parallel.mesh import set_active_mesh
+from speech_recognition_tpu.search import LASSearcher
+
+bf = jnp.bfloat16
+K, L, VOCAB = 4, 8, 128
+
+
+@pytest.fixture
+def one_device_mesh():
+    """See tests/test_pallas_topk.py — the dispatch gates refuse mesh-less
+    multi-device runs on the 8-virtual-CPU backend."""
+    yield get_device_mesh(1, 1, devices=jax.devices()[:1])
+    set_active_mesh(None)
+
+
+def _mini_las(seed=0, eos_biased=False):
+    """Gate-satisfying mini LAS: dec hidden 128 (=He), enc 64 (Dv=128),
+    vocab 128, 16 rows (beam slabs 16-aligned)."""
+    rng = jax.random.PRNGKey(seed)
+    model = LAS("lstm", VOCAB, 64, 128, 1, 2, 0.0, 1.0, dtype=bf)
+    audio = jax.random.uniform(rng, (16, 24, 10, 3), maxval=10.0, dtype=jnp.float32)
+    audio = audio.at[1, 12:].set(0.0).at[5, 4:].set(0.0)  # padded tails
+    tokens = jax.random.randint(rng, (16, L), 0, VOCAB)
+    variables = model.init({"params": rng}, (audio, tokens))
+    if eos_biased:
+        # push EOS to the top everywhere so every beam finishes within the
+        # first couple of free steps: the kernel must treat the
+        # post-all-ended grid steps as exact no-ops (the XLA while_loop
+        # early-exits instead)
+        p = variables["params"]["attend_and_speller"]["feedforward"]
+        p["bias"] = p["bias"].at[3].add(50.0)
+    return model, variables, audio
+
+
+def _run(model, variables, audio, env, monkeypatch, interpret=True):
+    for k_, v in env.items():
+        monkeypatch.setenv(k_, v)
+    searcher = LASSearcher(model, variables, max_token_length=L, bos_id=2, eos_id=3)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return searcher.beam_search(audio, K)
+    return searcher.beam_search(audio, K)
+
+
+@pytest.mark.parametrize("eos_biased", [False, True])
+def test_beam_kernel_matches_jnp_oracle(monkeypatch, one_device_mesh, eos_biased):
+    # init OUTSIDE the forced-pallas regime (the training decoder kernel
+    # would otherwise dispatch un-interpreted on the CPU backend)
+    model, variables, audio = _mini_las(eos_biased=eos_biased)
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+
+    tok, ppl = _run(model, variables, audio, {"SRT_PALLAS_BEAM": "1"}, monkeypatch)
+
+    orig = bk.beam_search_pallas
+    monkeypatch.setattr(bk, "beam_search_pallas", functools.partial(orig, oracle=True))
+    ref_tok, ref_ppl = _run(model, variables, audio, {"SRT_PALLAS_BEAM": "1"}, monkeypatch)
+
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(ppl), np.asarray(ref_ppl), rtol=1e-6)
+    if eos_biased:
+        # the all-ended scenario actually triggered (so the kernel ran
+        # no-op tail steps that the XLA loop skipped via its early exit)
+        assert np.all(np.any(np.asarray(tok) == 3, axis=-1))
+
+
+def test_beam_kernel_envelope_vs_fused_loop(monkeypatch, one_device_mesh):
+    model, variables, audio = _mini_las()
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+
+    tok, ppl = _run(model, variables, audio, {"SRT_PALLAS_BEAM": "1"}, monkeypatch)
+    ref_tok, ref_ppl = _run(
+        model, variables, audio,
+        {"SRT_PALLAS_BEAM": "0", "SRT_PALLAS_BEAM_TOPK": "1"}, monkeypatch,
+    )
+    # bf16-ULP hidden-path differences may swap near-tie beams on a
+    # random-init model; scores stay tight and most tokens agree
+    mism = (np.asarray(tok) != np.asarray(ref_tok)).mean()
+    assert mism < 0.15, f"token mismatch fraction {mism}"
+    np.testing.assert_allclose(np.asarray(ppl), np.asarray(ref_ppl), rtol=5e-3)
+
+
+def test_beam_kernel_gate(monkeypatch, one_device_mesh):
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    monkeypatch.setenv("SRT_PALLAS_BEAM", "1")
+    pk = jax.ShapeDtypeStruct((16, 24, 128), bf)
+    val = jax.ShapeDtypeStruct((16, 24, 128), bf)
+    emb = jax.ShapeDtypeStruct((128, 128), bf)
+    vw = jax.ShapeDtypeStruct((128, 128), bf)
+    ks = [jnp.zeros((256, 512), bf), jnp.zeros((128, 512), bf)]
+    assert bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 4, 8)
+    assert not bk.beam_pallas_supported(pk, val, emb, vw, ks, "gru", 4, 8)
+    assert not bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 12, 8)  # K*K > 128
+    assert not bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 4, 2)   # L < 3
+    f32pk = jax.ShapeDtypeStruct((16, 24, 128), jnp.float32)
+    assert not bk.beam_pallas_supported(f32pk, val, emb, vw, ks, "lstm", 4, 8)
+    monkeypatch.setenv("SRT_PALLAS_BEAM", "0")
+    assert not bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 4, 8)

@@ -45,6 +45,7 @@ def run(label):
     return out
 
 
+os.environ["SRT_PALLAS_BEAM"] = "0"
 os.environ["SRT_PALLAS_BEAM_TOPK"] = "0"
 os.environ["SRT_BEAM_UNTILED"] = "0"
 ref = run("tiled (reference layout)")
@@ -54,6 +55,10 @@ os.environ["SRT_PALLAS_BEAM_TOPK"] = "1"
 fused = run("+ pallas vocab topk     ")
 mismf = int((new != fused).sum())
 print(f"fused-vs-untiled mismatches (random init): {mismf} / {new.size} ({100.0*mismf/new.size:.3f}%)")
+os.environ["SRT_PALLAS_BEAM"] = "1"
+mega = run("whole-loop mega-kernel  ")
+mismm = int((mega != fused).sum())
+print(f"mega-vs-fused mismatches (random init): {mismm} / {mega.size} ({100.0*mismm/mega.size:.3f}%)")
 
 # Both paths are XLA with identical per-row arithmetic; on a random-init
 # model a one-ULP bf16 regrouping difference can still flip near-tie
