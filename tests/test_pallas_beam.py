@@ -106,6 +106,42 @@ def test_beam_kernel_envelope_vs_fused_loop(monkeypatch, one_device_mesh):
     np.testing.assert_allclose(np.asarray(ppl), np.asarray(ref_ppl), rtol=5e-3)
 
 
+def test_beam_kernel_sharded_gate(monkeypatch):
+    """Per-shard gate arithmetic on a multi-device mesh.
+
+    Execution of the search mega-kernels under shard_map cannot be
+    exercised in this environment: force_tpu_interpret_mode + shard_map +
+    a multi-step grid deadlocks on the virtual CPU backend (measured for
+    BOTH the greedy kernel and this one — a pallas-interpret limitation,
+    not a kernel property; the single-grid CE/CTC/decoder sharded tests in
+    test_pallas_sharded.py do pass).  The per-shard kernel instance is the
+    same program as the 1-device call (pinned exactly vs the jnp oracle
+    above), and the shard_over_batch plumbing is shared with the training
+    kernels that ARE sharded-tested — so the gate check is the remaining
+    mesh-specific logic."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    monkeypatch.setenv("SRT_PALLAS_BEAM", "1")
+    val = jax.ShapeDtypeStruct((64, 24, 128), bf)
+    emb = jax.ShapeDtypeStruct((128, 128), bf)
+    vw = jax.ShapeDtypeStruct((128, 128), bf)
+    ks = [jnp.zeros((256, 512), bf), jnp.zeros((128, 512), bf)]
+    pk = jax.ShapeDtypeStruct((64, 24, 128), bf)
+    get_device_mesh(data_parallel=4, model_parallel=2)
+    try:
+        # 64 rows / 4 shards -> Bl=16: accepted
+        assert bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 4, 8)
+        # 40 rows / 4 shards -> Bl=10: misaligned per-shard slab, rejected
+        pk40 = jax.ShapeDtypeStruct((40, 24, 128), bf)
+        val40 = jax.ShapeDtypeStruct((40, 24, 128), bf)
+        assert not bk.beam_pallas_supported(pk40, val40, emb, vw, ks, "lstm", 4, 8)
+    finally:
+        set_active_mesh(None)
+    # mesh-less multi-device: rejected (pallas would force replication)
+    assert not bk.beam_pallas_supported(pk, val, emb, vw, ks, "lstm", 4, 8)
+
+
 def test_beam_kernel_gate(monkeypatch, one_device_mesh):
     monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
     monkeypatch.setenv("SRT_PALLAS_BEAM", "1")
