@@ -271,7 +271,6 @@ def _beam_kernel(n_cells, K, V, Vc, chunk, step0, eos_id, pad_id, alpha, beta, r
 
     n = pl.program_id(0)
     B = pk_ref.shape[0]
-    K2 = K * K
 
     @pl.when(n == 0)
     def _():
