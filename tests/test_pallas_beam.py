@@ -90,6 +90,27 @@ def test_beam_kernel_matches_jnp_oracle(monkeypatch, one_device_mesh, eos_biased
         assert np.all(np.any(np.asarray(tok) == 3, axis=-1))
 
 
+def test_beam_kernel_alpha_beta_static(monkeypatch, one_device_mesh):
+    """Non-default length penalty (alpha/beta are baked into the compiled
+    kernel as statics): kernel == oracle, and the penalty actually bites
+    (different alpha/beta can change beam contents vs the defaults)."""
+    model, variables, audio = _mini_las()
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    monkeypatch.setenv("SRT_PALLAS_BEAM", "1")
+
+    searcher = LASSearcher(model, variables, max_token_length=L, bos_id=2, eos_id=3)
+    with pltpu.force_tpu_interpret_mode():
+        tok, ppl = searcher.beam_search(audio, K, alpha=2.0, beta=5)
+
+    orig = bk.beam_search_pallas
+    monkeypatch.setattr(bk, "beam_search_pallas", functools.partial(orig, oracle=True))
+    searcher = LASSearcher(model, variables, max_token_length=L, bos_id=2, eos_id=3)
+    ref_tok, ref_ppl = searcher.beam_search(audio, K, alpha=2.0, beta=5)
+
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))
+    np.testing.assert_allclose(np.asarray(ppl), np.asarray(ref_ppl), rtol=1e-6)
+
+
 def test_beam_kernel_envelope_vs_fused_loop(monkeypatch, one_device_mesh):
     model, variables, audio = _mini_las()
     monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
