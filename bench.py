@@ -97,6 +97,10 @@ def main():
         model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=True
     )
 
+    # the host pipeline ships bf16 features under mixed precision
+    # (SRT_HOST_BF16 default, run/train.py): bit-identical to the in-model
+    # astype cast, so the bench batch mirrors the real input dtype
+    audio = audio.astype(dtype)
     model_input = (audio, tokens[:, :-1])
     y_true = tokens[:, 1:]
 

@@ -168,6 +168,7 @@ def padded_batch(
     drop_remainder: bool = False,
     pad_to_batch: bool = False,
     with_lengths: bool = False,
+    audio_dtype=np.float32,
 ) -> Iterator[Tuple[np.ndarray, ...]]:
     """Batch (audio, tokens) into padded [B, T, ...] / [B, N] arrays.
 
@@ -180,6 +181,10 @@ def padded_batch(
     [B] int32 (zero for batch-pad rows) between audio and tokens, so models
     can mask exactly even when SpecAugment time masks zero the tail frames
     (the last-nonzero heuristic would truncate; see models/las.py).
+    ``audio_dtype`` stacks features directly into that dtype (e.g.
+    ml_dtypes.bfloat16 under mixed precision — numpy's RTNE conversion is
+    bit-identical to the model's on-device ``astype(self.dtype)`` cast, so
+    shipping bf16 halves host->device transfer with no numeric change).
     """
     batch: List[Tuple[np.ndarray, np.ndarray]] = []
 
@@ -187,7 +192,7 @@ def padded_batch(
         a_len = audio_pad_length or max(a.shape[0] for a, _ in batch)
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
         rows = batch_size if pad_to_batch else len(batch)
-        audio = _stack_padded([a for a, _ in batch], a_len, np.float32, rows)
+        audio = _stack_padded([a for a, _ in batch], a_len, audio_dtype, rows)
         tokens = _stack_padded([t for _, t in batch], t_len, np.int32, rows)
         lengths = np.zeros(rows, np.int32)
         lengths[: len(batch)] = [a.shape[0] for a, _ in batch]
@@ -208,6 +213,7 @@ def quantized_padded_batch(
     time_quantum: int = 128,
     audio_pad_length: Optional[int] = None,
     token_pad_length: Optional[int] = None,
+    audio_dtype=np.float32,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
     """Padded batches with a BOUNDED set of shapes for jitted decode loops.
 
@@ -226,7 +232,7 @@ def quantized_padded_batch(
         max_t = max(a.shape[0] for a, _ in batch)
         a_len = audio_pad_length or ((max_t + time_quantum - 1) // time_quantum) * time_quantum
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
-        audio = _stack_padded([a for a, _ in batch], a_len, np.float32, batch_size)
+        audio = _stack_padded([a for a, _ in batch], a_len, audio_dtype, batch_size)
         tokens = _stack_padded([t for _, t in batch], t_len, np.int32, batch_size)
         return audio, tokens, n_valid
 
@@ -247,6 +253,7 @@ def bucket_batch(
     drop_remainder: bool = False,
     over_boundary: str = "drop",
     with_lengths: bool = False,
+    audio_dtype=np.float32,
 ) -> Iterator[Tuple[np.ndarray, ...]]:
     """Length-bucketed padded batching.
 
@@ -270,7 +277,7 @@ def bucket_batch(
 
     def _emit(idx):
         batch = buckets[idx]
-        audio = _stack_padded([a for a, _ in batch], boundaries[idx], np.float32)
+        audio = _stack_padded([a for a, _ in batch], boundaries[idx], audio_dtype)
         t_len = token_pad_length or max(t.shape[0] for _, t in batch)
         tokens = _stack_padded([t for _, t in batch], t_len, np.int32)
         lengths = np.asarray([a.shape[0] for a, _ in batch], np.int32)

@@ -97,9 +97,13 @@ def main(args: argparse.Namespace):
     from ..data.dataset import prefetch_stream
 
     # double-buffered batches: host batch prep overlaps the device decode
+    # bf16 feature shipping under mixed precision: bit-identical to the
+    # model's on-device astype cast, half the host->device bytes
+    host_dtype = np.dtype(dtype) if args.mixed_precision else np.float32
     batches = prefetch_stream(
         quantized_padded_batch(
-            stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad
+            stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad,
+            audio_dtype=host_dtype,
         ),
         size=2,
     )

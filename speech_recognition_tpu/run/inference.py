@@ -93,11 +93,14 @@ def main(args: argparse.Namespace):
     outputs = []
     from ..data.dataset import prefetch_stream
 
+    # bf16 feature shipping under mixed precision (see run/evaluate.py)
+    host_dtype = np.dtype(dtype) if args.mixed_precision else np.float32
     batches = prefetch_stream(
         quantized_padded_batch(
             ((feat, np.zeros(1, np.int32)) for feat in stream()),
             args.batch_size,
             audio_pad_length=audio_pad,
+            audio_dtype=host_dtype,
         ),
         size=2,
     )

@@ -348,6 +348,16 @@ def main(cfg: TrainConfig):
                 else:
                     yield (audio, lengths), tokens
             return
+        # under mixed precision the model's first op is astype(bfloat16):
+        # stacking the batch directly into bf16 on host (numpy RTNE ==
+        # device RTNE, bit-identical) halves host->device transfer bytes
+        # and removes the on-device f32->bf16 convert (~0.6 ms/step at
+        # bench shapes).  SRT_HOST_BF16=0 ships f32.
+        audio_dtype = (
+            np.dtype(dtype)
+            if dtype != np.float32 and os.environ.get("SRT_HOST_BF16", "1") == "1"
+            else np.float32
+        )
         if cfg.bucket_boundaries:
             from ..data.dataset import bucket_batch
 
@@ -361,11 +371,12 @@ def main(cfg: TrainConfig):
                 drop_remainder=multi_device,
                 over_boundary="clamp" if cfg.max_over_policy == "slice" else "drop",
                 with_lengths=True,
+                audio_dtype=audio_dtype,
             )
         else:
             batches = padded_batch(
                 stream, batch_size, audio_pad, token_pad, pad_to_batch=static,
-                with_lengths=True,
+                with_lengths=True, audio_dtype=audio_dtype,
             )
         # true frame lengths ride along so the model masks exactly even when
         # SpecAugment time masks zero tail frames (the last-nonzero-frame

@@ -146,6 +146,40 @@ def test_padded_batch_with_lengths():
     assert lengths.tolist() == [7, 0]  # batch-pad row reports length 0
 
 
+def test_padded_batch_bf16_shipping_matches_device_cast():
+    """Host-stacked bf16 features (audio_dtype, shipped under mixed
+    precision) must be bit-identical to the model's on-device
+    astype(bfloat16) RTNE cast of the f32 batch — numpy/ml_dtypes and XLA
+    both round-to-nearest-even, so the transfer-halving path changes no
+    math (models/las.py:168, deepspeech2.py:43)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    examples = [
+        (rng.standard_normal((5, 4, 3)).astype(np.float32) * 10.0**rng.integers(-6, 6),
+         np.array([1, 2], np.int32))
+        for _ in range(4)
+    ]
+    bf16 = np.dtype(jnp.bfloat16)
+    f32_batches = list(padded_batch(iter(examples), 2, 8, 4, with_lengths=True))
+    bf16_batches = list(
+        padded_batch(iter(examples), 2, 8, 4, with_lengths=True, audio_dtype=bf16)
+    )
+    for (a32, l32, t32), (a16, l16, t16) in zip(f32_batches, bf16_batches):
+        assert a16.dtype == bf16
+        device_cast = np.asarray(jnp.asarray(a32).astype(jnp.bfloat16))
+        assert (a16 == device_cast).all()
+        assert (l16 == l32).all() and (t16 == t32).all()
+
+    # bucket_batch and quantized_padded_batch take the same parameter
+    from speech_recognition_tpu.data.dataset import quantized_padded_batch
+
+    (qa, _, _), = list(quantized_padded_batch(iter(examples[:2]), 2, audio_dtype=bf16))
+    assert qa.dtype == bf16
+    (ba, _, _), = list(bucket_batch(iter(examples[:2]), 2, [8], 4, with_lengths=True, audio_dtype=bf16))
+    assert ba.dtype == bf16
+
+
 def test_bucket_batch_with_lengths():
     examples = [
         (np.ones((5, 4, 1), np.float32), np.array([1], np.int32)),
