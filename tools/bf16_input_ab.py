@@ -40,7 +40,8 @@ train_step = make_train_step(
 
 
 def chain_ms(audio_in, n=8):
-    state = TrainState.create(dict(variables), tx)
+    # train_step donates the state; copy the shared init variables per chain
+    state = TrainState.create(jax.tree_util.tree_map(jnp.copy, dict(variables)), tx)
     mi, yt = (audio_in, tokens[:, :-1]), tokens[:, 1:]
 
     def run(state, k, seed):
