@@ -44,6 +44,32 @@ def build_variables(model, model_config, data_config, rng, audio_len=64, token_l
     return model.init({"params": rng}, audio)
 
 
+def pipelined_decode(batches, decode_fn, depth=2):
+    """Software-pipeline device decode against host materialization.
+
+    JAX dispatch is asynchronous: keeping ``depth`` decode calls in flight
+    overlaps each call's ~21 ms host dispatch work with the device execution
+    of the previous call (measured on-chip: 85.6 ms/call synchronous vs
+    64.8 ms/call chained for beam-8, PERF.md round-5). The reference got the
+    same overlap from Keras ``predict``'s internal prefetch queue
+    (reference run/evaluate.py:79-84).
+
+    ``batches`` yields ``(audio, *rest)``; ``decode_fn(audio)`` must return a
+    device array. Yields ``(np_output, *rest)`` in input order.
+    """
+    from collections import deque
+
+    inflight = deque()
+    for audio, *rest in batches:
+        inflight.append((decode_fn(audio), rest))
+        if len(inflight) >= depth:
+            out, r = inflight.popleft()
+            yield (np.asarray(out), *r)
+    while inflight:
+        out, r = inflight.popleft()
+        yield (np.asarray(out), *r)
+
+
 def round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
 

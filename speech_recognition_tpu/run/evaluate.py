@@ -107,11 +107,15 @@ def main(args: argparse.Namespace):
         ),
         size=2,
     )
-    for batch_audio, batch_tokens, n_valid in batches:
-        if args.beam_size > 0:
-            batch_output = np.asarray(searcher.beam_search(batch_audio, args.beam_size)[0][:, 0, :])
-        else:
-            batch_output = np.asarray(searcher.greedy_search(batch_audio)[0])
+    if args.beam_size > 0:
+        decode_fn = lambda audio: searcher.beam_search(audio, args.beam_size)[0][:, 0, :]
+    else:
+        decode_fn = lambda audio: searcher.greedy_search(audio)[0]
+    # keep two decode calls in flight: dispatch for batch N+1 overlaps the
+    # device execution of batch N (pipelined_decode docstring for numbers)
+    from .common import pipelined_decode
+
+    for batch_output, batch_tokens, n_valid in pipelined_decode(batches, decode_fn):
         outputs.extend(zip(batch_output[:n_valid], batch_tokens[:n_valid]))
     logger.info("[+] Ended Inference")
 

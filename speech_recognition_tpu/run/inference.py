@@ -104,11 +104,14 @@ def main(args: argparse.Namespace):
         ),
         size=2,
     )
-    for audio, _, n_valid in batches:
-        if args.beam_size > 0:
-            decoded = np.asarray(searcher.beam_search(audio, args.beam_size)[0][:, 0, :])
-        else:
-            decoded = np.asarray(searcher.greedy_search(audio)[0])
+    if args.beam_size > 0:
+        decode_fn = lambda audio: searcher.beam_search(audio, args.beam_size)[0][:, 0, :]
+    else:
+        decode_fn = lambda audio: searcher.greedy_search(audio)[0]
+    # two decode calls in flight (see run/common.py pipelined_decode)
+    from .common import pipelined_decode
+
+    for decoded, _, n_valid in pipelined_decode(batches, decode_fn):
         outputs.extend(decoded[:n_valid])
 
     sentences = [tokenizer.detokenize([int(t) for t in out]) for out in outputs]

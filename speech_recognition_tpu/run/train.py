@@ -411,10 +411,26 @@ def main(cfg: TrainConfig):
             size=2,
         )
 
+    from ..train.metrics import AsyncMetricAccumulator
+
+    def flush_tensorboard(pending):
+        # one stacked fetch for all queued points (data long computed)
+        if not pending:
+            return
+        import jax.numpy as jnp
+
+        values = np.asarray(jnp.stack([v for _, v in pending]))
+        for (step, _), value in zip(pending, values):
+            writer.scalar("train/loss", float(value), step)
+        pending.clear()
+
     profiling = False
     for epoch in range(cfg.skip_epochs, cfg.epochs):
         epoch_start = time.time()
-        running = {}
+        # device metrics fold into host totals `depth` steps late, so the
+        # step chain never blocks on a same-step fetch (train/metrics.py)
+        running = AsyncMetricAccumulator(depth=8)
+        tb_pending = []
         steps = 0
         if persistent_train_iter is not None:
             train_iter = persistent_train_iter
@@ -441,20 +457,25 @@ def main(cfg: TrainConfig):
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("[+] Saved profiler trace")
-            for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+            running.push(metrics)
+            if writer and global_step % cfg.tensorboard_update_freq == 0:
+                tb_pending.append((global_step, metrics["loss"]))
             if steps % 100 == 0:
                 logger.info(
                     f"{epoch + 1} epoch, {steps} step | "
-                    + ", ".join(f"{k}: {v / steps:.4f}" for k, v in running.items() if not k.endswith("_count"))
+                    + ", ".join(
+                        f"{k}: {v / steps:.4f}" for k, v in running.totals().items() if not k.endswith("_count")
+                    )
                 )
-            if writer and global_step % cfg.tensorboard_update_freq == 0:
-                writer.scalar("train/loss", float(metrics["loss"]), global_step)
+                if writer:
+                    flush_tensorboard(tb_pending)
             if cfg.steps_per_epoch and steps >= cfg.steps_per_epoch:
                 break
 
         # ------------------------------------------------------------- validate
-        val_metrics = {}
+        if writer:
+            flush_tensorboard(tb_pending)
+        val_running = AsyncMetricAccumulator(depth=8)
         val_steps = 0
         from ..data.dataset import prefetch_stream as _prefetch
 
@@ -464,10 +485,9 @@ def main(cfg: TrainConfig):
             if multi_device:
                 model_input = shard_batch(model_input, mesh)
                 y_true = shard_batch(y_true, mesh)
-            metrics = eval_step(state, model_input, y_true)
+            val_running.push(eval_step(state, model_input, y_true))
             val_steps += 1
-            for k, v in metrics.items():
-                val_metrics[k] = val_metrics.get(k, 0.0) + float(v)
+        val_metrics = val_running.totals()
 
         val_loss = val_metrics.get("loss", 0.0) / max(val_steps, 1)
         summary = {"val_loss": val_loss}

@@ -278,3 +278,26 @@ def test_train_cli_batch_iterator_threads_lengths(tmp_path):
     (audio, lengths), dec_in = captured[0]
     assert lengths.shape == (2,) and lengths.dtype == np.int32
     assert (lengths > 0).all() and (lengths <= audio.shape[1]).all()
+
+
+def test_pipelined_decode_orders_and_overlaps():
+    """pipelined_decode keeps `depth` decode calls dispatched ahead of
+    materialization and preserves input order (run/common.py)."""
+    from speech_recognition_tpu.run.common import pipelined_decode
+
+    events = []
+
+    def decode_fn(audio):
+        events.append(("dispatch", int(audio[0])))
+        return audio + 100
+
+    batches = [(np.array([i]), f"meta{i}", i) for i in range(5)]
+    out = []
+    for decoded, meta, n in pipelined_decode(iter(batches), decode_fn, depth=2):
+        events.append(("materialize", n))
+        out.append((int(decoded[0]), meta, n))
+
+    assert out == [(i + 100, f"meta{i}", i) for i in range(5)]
+    # batch 1's decode must be dispatched before batch 0 is materialized
+    assert events.index(("dispatch", 1)) < events.index(("materialize", 0))
+    assert [e for e in events if e[0] == "materialize"] == [("materialize", i) for i in range(5)]

@@ -60,3 +60,26 @@ def test_train_step_reduces_loss():
     eval_step = make_eval_step(model, loss_fn)
     m = eval_step(state, x, y)
     np.testing.assert_allclose(float(m["loss"]), losses[-1], rtol=0.5)
+
+
+def test_async_metric_accumulator_defers_and_sums():
+    """AsyncMetricAccumulator folds device metrics `depth` steps late and
+    drains to exact running totals (train/metrics.py)."""
+    import jax.numpy as jnp
+
+    from speech_recognition_tpu.train.metrics import AsyncMetricAccumulator
+
+    acc = AsyncMetricAccumulator(depth=3)
+    for i in range(10):
+        acc.push({"loss": jnp.float32(i), "acc": jnp.float32(2 * i)})
+        # never more than depth steps pending, and nothing folds early
+        assert len(acc._pending) <= 3
+        if i < 3:
+            assert acc._totals == {}
+    totals = acc.totals()
+    assert not acc._pending
+    assert totals["loss"] == sum(range(10))
+    assert totals["acc"] == 2 * sum(range(10))
+    # drain is idempotent; further pushes keep accumulating
+    acc.push({"loss": jnp.float32(100.0), "acc": jnp.float32(0.0)})
+    assert acc.totals()["loss"] == sum(range(10)) + 100.0
