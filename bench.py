@@ -179,10 +179,12 @@ def main():
                 return time.perf_counter() - t0
 
             n_calls = 4 if on_tpu else 2
-            best = float("inf")
-            for _ in range(reps):
-                best = min(best, (chain(n_calls) - chain(1)) / (n_calls - 1))
-            return round(best / audio_seconds, 6)
+            # take each term's best SEPARATELY: min over (chain(n) - chain(1))
+            # pairs is biased low — a slow chain(1) outlier shrinks that
+            # pair's difference, and the min picks exactly those samples
+            best_n = min(chain(n_calls) for _ in range(reps))
+            best_1 = min(chain(1) for _ in range(reps))
+            return round(max(best_n - best_1, 0.0) / (n_calls - 1) / audio_seconds, 6)
 
         rtf = best_rtf(lambda: searcher.greedy_search(audio)[0])
         rtf_beam = best_rtf(lambda: searcher.beam_search(audio, 8)[0])

@@ -67,13 +67,13 @@ def _run_steps(model_config_path, model_input, y_true, init_input, is_las, steps
     for i in range(steps):
         state, metrics = train_step(state, model_input, y_true, jax.random.fold_in(rng, i))
         losses.append(float(metrics["loss"]))
-    return losses, {k: float(v) for k, v in metrics.items()}
+    return losses, {k: float(v) for k, v in metrics.items()}, state
 
 
 def test_las_overfits_fixture_utterances():
     feats, lengths, tokens = _fixture_batch()
     model_input = ((feats, lengths), tokens[:, :-1])
-    losses, metrics = _run_steps(
+    losses, metrics, _ = _run_steps(
         TEST_LAS_CONFIG, model_input, tokens[:, 1:], model_input, True, steps=150, lr=5e-3
     )
     assert np.isfinite(losses).all()
@@ -91,7 +91,7 @@ def test_las_overfits_fixture_utterances():
 def test_deepspeech2_overfits_fixture_utterances():
     feats, lengths, tokens = _fixture_batch()
     model_input = (feats, lengths)
-    losses, _ = _run_steps(
+    losses, _, _ = _run_steps(
         TEST_DS_CONFIG, model_input, tokens, model_input, False, steps=150, lr=5e-3
     )
     assert np.isfinite(losses).all()
