@@ -72,8 +72,12 @@ class TrainConfig:
     # capture a jax.profiler trace of N training steps into <output>/profile
     profile_steps: Optional[int] = None
     # fuse the audio feature frontend (STFT/mel/SpecAugment/delta) into the
-    # on-device training step; the host pipeline only decodes + tokenizes
-    on_device_frontend: bool = False
+    # on-device training step; the host pipeline only decodes + tokenizes.
+    # None = auto: ON for TPU tsv runs (the TPU-first default — batched MXU
+    # feature extraction beats per-example host numpy, and the host is
+    # usually the bottleneck at chip rates), OFF elsewhere (CPU/GPU runs and
+    # TFRecord datasets, whose features are precomputed)
+    on_device_frontend: Optional[bool] = None
     # comma-separated audio-length bucket boundaries for bucketed batching
     # (e.g. "512,1024,2048"); cuts pad waste vs the single max-length shape
     bucket_boundaries: Optional[str] = None
@@ -113,6 +117,11 @@ class TrainConfig:
             "tensorboard_update_freq",
             "skip_epochs",
         )
+
+        if self.on_device_frontend is None:
+            # TPU-first auto: raw PCM to the chip, features fuse into the
+            # jitted step; explicit True/False (CLI or YAML) always wins
+            self.on_device_frontend = self.device == "TPU" and not self.use_tfrecord
 
         self.data_config_path = self.data_config
         self.model_config_path = self.model_config

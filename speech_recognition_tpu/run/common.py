@@ -12,11 +12,28 @@ def select_device(device: str) -> None:
     platform = {"CPU": "cpu", "GPU": "gpu", "TPU": "tpu"}.get(device)
     if platform is None:
         raise ValueError(f"device {device} is invalid (CPU | GPU | TPU)")
+    previous = jax.config.jax_platforms
     try:
         jax.config.update("jax_platforms", platform)
         jax.devices()
     except RuntimeError as e:
+        jax.config.update("jax_platforms", previous)
+        # TPU PJRT plugins can register under a vendor platform name (e.g.
+        # a tunneled chip); accept the default backend when its devices ARE
+        # TPUs by device_kind
+        if platform == "tpu" and _default_devices_are_tpu():
+            return
         raise RuntimeError(f"Cannot find {device}!") from e
+
+
+def _default_devices_are_tpu() -> bool:
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        return False
+    return bool(devices) and all(
+        "tpu" in (getattr(d, "device_kind", "") or "").lower() for d in devices
+    )
 
 
 def compute_dtype(mixed_precision: bool, device: str):

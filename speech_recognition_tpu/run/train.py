@@ -47,7 +47,7 @@ parser.add_argument("--seed", type=int, help="Set random seed")
 parser.add_argument("--skip-epochs", type=int, help="skip first N epochs and start N + 1 epoch")
 parser.add_argument("--device", type=str, choices=["CPU", "GPU", "TPU"], help="device to use (TPU or GPU or CPU)")
 parser.add_argument("--profile-steps", type=int, help="capture a jax.profiler trace of N training steps into <output>/profile")
-parser.add_argument("--on-device-frontend", action="store_true", help="fuse the audio feature frontend into the on-device training step")
+parser.add_argument("--on-device-frontend", action=argparse.BooleanOptionalAction, help="fuse the audio feature frontend into the on-device training step (default: on for TPU tsv runs; --no-on-device-frontend reverts to host features)")
 parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio-length bucket boundaries for bucketed batching, e.g. 512,1024,2048")
 parser.add_argument("--auto-resume", action="store_true", help="resume from the newest checkpoint in <output>/models (sets pretrained path + skip-epochs)")
 # fmt: on

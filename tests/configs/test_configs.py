@@ -113,3 +113,26 @@ def test_train_config_bad_policy():
         TrainConfig(**_train_kwargs(max_over_policy="drop"))
     with pytest.raises(ConfigValidationError):
         TrainConfig(**_train_kwargs(device="QPU"))
+
+
+def test_train_config_on_device_frontend_auto():
+    """None = auto: ON only for TPU tsv runs; explicit values always win
+    (TPU-first default, configs/train_config.py)."""
+    assert TrainConfig(**_train_kwargs()).on_device_frontend is False  # CPU
+    assert (
+        TrainConfig(**_train_kwargs(device="TPU", max_over_policy="slice")).on_device_frontend
+        is True
+    )
+    assert (
+        TrainConfig(
+            **_train_kwargs(device="TPU", max_over_policy="slice", use_tfrecord=True)
+        ).on_device_frontend
+        is False
+    )
+    assert (
+        TrainConfig(
+            **_train_kwargs(device="TPU", max_over_policy="slice", on_device_frontend=False)
+        ).on_device_frontend
+        is False
+    )
+    assert TrainConfig(**_train_kwargs(on_device_frontend=True)).on_device_frontend is True
