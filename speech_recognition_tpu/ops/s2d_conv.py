@@ -25,6 +25,7 @@ Gate: SRT_S2D_CONV=1 (default) uses the fast path on TPU when the time
 stride is 2; "force" uses it on any backend (tests); "0" disables.
 """
 
+import functools
 import os
 from typing import Tuple
 
@@ -105,6 +106,101 @@ def time_s2d_valid_conv2d(x, kernel, strides, split_freq: bool = False):
     return y[:, :t_out]
 
 
+def _pdx_enabled() -> bool:
+    # default OFF: measured SLOWER than XLA's native dilated dx at the LAS
+    # conv2 shapes (isolated chain 4.9 -> 5.9 ms; the stride-1 phase conv
+    # lowers at ~3% MXU and the depth-to-space interleave costs ~1 ms
+    # fused).  Kept as a validated opt-in for shapes where the dilated
+    # backward dominates; see PERF.md round-7.
+    v = os.environ.get("SRT_PDX_CONV", "0")
+    if v == "0":
+        return False
+    return v == "force" or jax.default_backend() == "tpu"
+
+
+def _dx_kernel(kernel, strides):
+    """Rearrange a conv kernel into the stride-1 correlation kernel whose
+    outputs are the PHASES of d/d(input).
+
+    For a stride-2 axis, dx[2u+p] = sum_e dy[u-e] * w[2e+p]: each phase p is
+    a stride-1 correlation of dy with the taps d === p (mod 2), reversed.
+    All phases stack on the OUTPUT channel axis (with dy's channels as the
+    conv input channels), so the whole dx is ONE stride-1 conv with
+    ci*(phases) output channels followed by a depth-to-space interleave —
+    no input dilation anywhere.  A stride-1 axis keeps the standard
+    transposed-conv form (full correlation with reversed taps)."""
+    kt, kf, ci, co = kernel.shape
+    st, sf = strides
+    if st == 2:
+        Lt = -(-kt // 2)
+        k = jnp.pad(kernel, ((0, 2 * Lt - kt), (0, 0), (0, 0), (0, 0)))
+        k = k.reshape(Lt, 2, kf, ci, co)[::-1]  # [Lt, Pt, kf, ci, co]
+    else:
+        k = kernel[::-1][:, None]  # [kt, 1, kf, ci, co]
+    Lt, Pt = k.shape[0], k.shape[1]
+    if sf == 2:
+        Lf = -(-kf // 2)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 2 * Lf - kf), (0, 0), (0, 0)))
+        k = k.reshape(Lt, Pt, Lf, 2, ci, co)[:, :, ::-1]  # [Lt,Pt,Lf,Pf,ci,co]
+    else:
+        k = k[:, :, ::-1][:, :, :, None]  # [Lt, Pt, kf, 1, ci, co]
+    Lf, Pf = k.shape[2], k.shape[3]
+    # dy channels (co) become the conv input; phases x ci the output
+    k = k.transpose(0, 2, 5, 1, 3, 4).reshape(Lt, Lf, co, Pt * Pf * ci)
+    return k, (Lt, Pt), (Lf, Pf)
+
+
+def _dx_axis_pads(size_in, taps, stride, L, out):
+    if stride == 2:
+        U = -(-size_in // 2)
+        return U, L - 1, U - out
+    return size_in, taps - 1, taps - 1
+
+
+def conv2d_dx_phase(dy, kernel, strides, x_shape):
+    """d/d(input) of ``valid_conv2d(x, kernel, strides)`` for strides in
+    {1,2}, computed WITHOUT input dilation (XLA's dilated-correlation
+    gradient runs at a few-percent MXU on small kernels — conv2's dx alone
+    was 2.85 ms of the LAS step)."""
+    B, T, F = x_shape[0], x_shape[1], x_shape[2]
+    kt, kf, ci, co = kernel.shape
+    k2, (Lt, Pt), (Lf, Pf) = _dx_kernel(kernel, strides)
+    To, Fo = dy.shape[1], dy.shape[2]
+    Ut, pt_f, pt_b = _dx_axis_pads(T, kt, strides[0], Lt, To)
+    Uf, pf_f, pf_b = _dx_axis_pads(F, kf, strides[1], Lf, Fo)
+    dyp = jnp.pad(dy, ((0, 0), (pt_f, pt_b), (pf_f, pf_b), (0, 0)))
+    z = valid_conv2d(dyp, k2, (1, 1))  # [B, Ut, Uf, Pt*Pf*ci]
+    z = z.reshape(B, Ut, Uf, Pt, Pf, ci)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(B, Ut * Pt, Uf * Pf, ci)
+    return z[:, :T, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def valid_conv2d_pdx(x, kernel, strides):
+    """valid_conv2d with a phase-decomposed d/d(input): forward and dW keep
+    XLA's native paths (both fast for small kernels); only the pathological
+    dilated dx is replaced.  Used by the LAS conv stem, whose whole-conv
+    phase-split loses (relayout of x dominates — PERF.md round-7)."""
+    return valid_conv2d(x, kernel, strides)
+
+
+def _pdx_fwd(x, kernel, strides):
+    return valid_conv2d(x, kernel, strides), (x, kernel)
+
+
+def _pdx_bwd(strides, res, dy):
+    x, kernel = res
+    _, wvjp = jax.vjp(lambda w: valid_conv2d(x, w, strides), kernel)
+    (dw,) = wvjp(dy)
+    # dx is dead code (and removed by XLA) when x carries no gradient,
+    # e.g. the first conv of a stem whose input is the data batch
+    dx = conv2d_dx_phase(dy, kernel, strides, x.shape)
+    return dx, dw
+
+
+valid_conv2d_pdx.defvjp(_pdx_fwd, _pdx_bwd)
+
+
 class Conv2DValid(nn.Module):
     """Drop-in for ``nn.Conv(features, kernel_size, strides, "VALID")``.
 
@@ -135,6 +231,10 @@ class Conv2DValid(nn.Module):
         if _s2d_enabled(self.strides[0], kt):
             split_freq = self.strides[1] == 2 and kf >= 8
             y = time_s2d_valid_conv2d(x, kernel, tuple(self.strides), split_freq=split_freq)
+        elif 2 in tuple(self.strides) and _pdx_enabled():
+            # small strided kernels: forward/dW stay on XLA's native conv,
+            # only the dilated d/d(input) is phase-decomposed
+            y = valid_conv2d_pdx(x, kernel, tuple(self.strides))
         else:
             y = valid_conv2d(x, kernel, tuple(self.strides))
         return y + bias.astype(self.dtype)

@@ -65,6 +65,38 @@ def test_phase_split_both_axes(T, F, C, O, kt, kf):
     np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "T,F,C,O,kt,kf,st,sf",
+    [
+        (33, 11, 3, 8, 3, 3, 2, 2),   # LAS conv1-like (odd T/F)
+        (32, 12, 8, 8, 3, 3, 2, 2),   # even T/F
+        (33, 11, 4, 8, 4, 5, 2, 2),   # even time taps, odd freq taps
+        (33, 11, 4, 8, 3, 3, 2, 1),   # freq stride 1
+        (33, 11, 4, 8, 3, 3, 1, 2),   # time stride 1
+        (35, 13, 2, 4, 5, 2, 2, 2),   # wider taps / even freq taps
+    ],
+)
+def test_pdx_grads_match_autodiff(T, F, C, O, kt, kf, st, sf):
+    """valid_conv2d_pdx: same forward, and dx/dW equal to autodiff of the
+    plain conv (the dx path is the phase-decomposed correlation)."""
+    from speech_recognition_tpu.ops.s2d_conv import valid_conv2d_pdx
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, T, F, C), jnp.float32)
+    w = jnp.asarray(rng.randn(kt, kf, C, O) * 0.2, jnp.float32)
+    ref = valid_conv2d(x, w, (st, sf))
+    got = valid_conv2d_pdx(x, w, (st, sf))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    co = jnp.asarray(rng.randn(*ref.shape), jnp.float32)
+    loss_ref = lambda x, w: jnp.sum(valid_conv2d(x, w, (st, sf)) * co)
+    loss_got = lambda x, w: jnp.sum(valid_conv2d_pdx(x, w, (st, sf)) * co)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx_g, gw_g = jax.grad(loss_got, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_r), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_r), rtol=1e-5, atol=1e-5)
+
+
 def test_conv2dvalid_module_dispatch(monkeypatch):
     """Module path parity: forced s2d == disabled s2d, same param pytree as
     nn.Conv (names/shapes), on any backend."""
