@@ -114,6 +114,72 @@ def stft(audio, frame_length: int, frame_step: int, fft_length: Optional[int] = 
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _windowed_rdft_basis(frame_length: int, fft_length: int) -> np.ndarray:
+    """Hann window fused into a real-DFT basis: [L, 2*(fft//2+1)] float32
+    with L = min(frame_length, fft_length); columns = [Re | -Im].
+
+    tf.signal.stft windows the full frame, then rfft(n=fft_length) truncates
+    or zero-pads — so only the first L (windowed) samples contribute, with
+    window weights window[:L].  Computed in float64 on host."""
+    L = min(frame_length, fft_length)
+    n = np.arange(L, dtype=np.float64)[:, None]
+    k = np.arange(fft_length // 2 + 1, dtype=np.float64)[None, :]
+    angle = 2.0 * np.pi * n * k / fft_length
+    w = hann_window(frame_length, np.float64)[:L, None]
+    return np.concatenate([np.cos(angle) * w, -np.sin(angle) * w], axis=1).astype(np.float32)
+
+
+def power_stft(audio, frame_length: int, frame_step: int, fft_length: Optional[int] = None, xp=jnp):
+    """|STFT|² (power spectrum), TPU-native.
+
+    On device the window + rDFT collapse into ONE [L, 2K] matmul on the MXU
+    (precision=HIGHEST: f32-exact, max |Δ| 4e-7 of peak power vs rfft) —
+    XLA's non-power-of-two FFT (e.g. the shipped fft_length=320) costs 9 ms
+    at bench shapes where the matmul costs 2.3 (PERF.md round-7).  The host
+    (numpy) path keeps np.fft.rfft.  SRT_MATMUL_STFT=0 reverts to rfft.
+
+    :param audio: [..., NumSamples] float signal
+    :return: [..., NumFrames, fft_length // 2 + 1] float32 power
+    """
+    import os
+
+    if fft_length is None:
+        fft_length = int(2 ** np.ceil(np.log2(frame_length)))
+    if xp is np or os.environ.get("SRT_MATMUL_STFT", "1") == "0":
+        mag = xp.abs(stft(audio, frame_length, frame_step, fft_length, xp=xp)).astype(xp.float32)
+        return mag * mag
+    hi = jax.lax.Precision.HIGHEST
+    L = min(frame_length, fft_length)
+    basis = _windowed_rdft_basis(frame_length, fft_length)
+    num_samples = audio.shape[-1]
+    num_frames = (num_samples - frame_length) // frame_step + 1
+    m, rem = divmod(frame_length, frame_step)
+    if rem == 0 and num_frames > 0:
+        # framing never materializes: frame t = m consecutive step-blocks, so
+        # proj = sum_i blocks[t+i] @ basis[i*step:(i+1)*step] — m matmuls over
+        # CONTIGUOUS views (saves writing + re-reading the 2x-overlapped
+        # framed tensor: 168 MB at bench shapes)
+        basis_full = np.zeros((frame_length, basis.shape[1]), np.float32)
+        basis_full[:L] = basis
+        nblocks = num_samples // frame_step
+        blocks = audio[..., : nblocks * frame_step].astype(jnp.float32)
+        blocks = blocks.reshape(audio.shape[:-1] + (nblocks, frame_step))
+        proj = None
+        for i in range(m):
+            piece = jnp.asarray(basis_full[i * frame_step : (i + 1) * frame_step])
+            term = jnp.matmul(blocks[..., i : i + num_frames, :], piece, precision=hi)
+            proj = term if proj is None else proj + term
+    else:
+        frames = frame_signal(audio, frame_length, frame_step, xp=xp)
+        proj = jnp.matmul(
+            frames[..., :L].astype(jnp.float32), jnp.asarray(basis), precision=hi
+        )
+    num_bins = fft_length // 2 + 1
+    re, im = proj[..., :num_bins], proj[..., num_bins:]
+    return re * re + im * im
+
+
 def _with_channel(feature: jnp.ndarray) -> jnp.ndarray:
     return feature[..., None]
 
@@ -125,7 +191,7 @@ def make_spectrogram(frame_length: int, frame_step: int, fft_length: Optional[in
     """
 
     def _fn(audio, text=None):
-        spectrogram = xp.abs(stft(audio, frame_length, frame_step, fft_length, xp=xp)).astype(xp.float32)
+        spectrogram = xp.sqrt(power_stft(audio, frame_length, frame_step, fft_length, xp=xp))
         spectrogram = _with_channel(spectrogram)
         return spectrogram if text is None else (spectrogram, text)
 
@@ -153,9 +219,14 @@ def make_log_mel_spectrogram(
     )
 
     def _fn(audio, text=None):
-        magnitude = xp.abs(stft(audio, frame_length, frame_step, fft_length, xp=xp)).astype(xp.float32)
-        power = xp.square(magnitude)
-        mel = power @ xp.asarray(mel_filterbank)
+        power = power_stft(audio, frame_length, frame_step, fft_length, xp=xp)
+        if xp is np:
+            mel = power @ mel_filterbank
+        else:
+            # pin f32 matmul accumulation on TPU (DEFAULT would drop to bf16
+            # passes and silently break the tf.signal parity the CPU-backend
+            # tests certify)
+            mel = jnp.matmul(power, jnp.asarray(mel_filterbank), precision=jax.lax.Precision.HIGHEST)
         log_mel = _with_channel(xp.log(mel + epsilon))
         return log_mel if text is None else (log_mel, text)
 
@@ -207,7 +278,12 @@ def make_mfcc(
 
     def _fn(audio, text=None):
         log_mel = log_mel_fn(audio)[..., 0]
-        mfcc = _with_channel(log_mel @ xp.asarray(dct_matrix))
+        if xp is np:
+            mfcc = _with_channel(log_mel @ dct_matrix)
+        else:
+            mfcc = _with_channel(
+                jnp.matmul(log_mel, jnp.asarray(dct_matrix), precision=jax.lax.Precision.HIGHEST)
+            )
         return mfcc if text is None else (mfcc, text)
 
     return _fn

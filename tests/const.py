@@ -6,6 +6,7 @@ SP_MODEL_DIR = os.path.join(RESOURCE_DIR, "sp-models")
 CONFIG_DIR = os.path.join(RESOURCE_DIR, "configs")
 
 DEFAULT_LIBRI_CONFIG = os.path.join(CONFIG_DIR, "libri_config.yml")
+DEFAULT_KSPON_CONFIG = os.path.join(CONFIG_DIR, "kspon_config.yml")
 SP_MODEL_LIBRI = os.path.join(SP_MODEL_DIR, "sp_model_unigram_16K_libri.model")
 SP_MODEL_KSPON = os.path.join(SP_MODEL_DIR, "sp_model_unigram_8K_kspon.model")
 

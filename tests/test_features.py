@@ -65,6 +65,22 @@ def test_mel_matrix_matches_tf(num_mel_bins, num_spectrogram_bins, sample_rate, 
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=3e-5)
 
 
+@pytest.mark.parametrize(
+    "frame_length,frame_step,fft_length",
+    [(320, 160, 320), (1024, 512, 1024), (128, 64, 256), (512, 512, 256), (320, 160, None)],
+)
+def test_power_stft_matmul_matches_rfft(audio, frame_length, frame_step, fft_length, monkeypatch):
+    """The device path's fused windowed-rDFT matmul (MXU) == |rfft|², across
+    power-of-two, non-power-of-two, zero-padded (fft>frame) and truncated
+    (fft<frame) transforms.  On the real chip precision=HIGHEST keeps the
+    matmul f32-exact (max |Δ| 4e-7 of peak power — PERF.md round-7)."""
+    got = np.asarray(features.power_stft(audio, frame_length, frame_step, fft_length))
+    monkeypatch.setenv("SRT_MATMUL_STFT", "0")
+    ref = np.asarray(features.power_stft(audio, frame_length, frame_step, fft_length))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5 * max(ref.max(), 1.0))
+
+
 def test_spectrogram_shape_and_value(audio):
     fn = features.make_spectrogram(320, 160, 320)
     out = np.asarray(fn(audio))
