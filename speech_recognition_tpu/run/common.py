@@ -87,6 +87,37 @@ def pipelined_decode(batches, decode_fn, depth=2):
         yield (np.asarray(out), *r)
 
 
+def use_raw_frontend(on_device_frontend, device: str, use_tfrecord: bool) -> bool:
+    """Resolve the on-device-frontend tri-state for the decode CLIs: None =
+    auto (ON for TPU tsv runs — same TPU-first default as TrainConfig);
+    explicit True/False from the flag always wins.  TFRecords hold
+    pre-computed features, so raw mode never applies there."""
+    if use_tfrecord:
+        return False
+    if on_device_frontend is None:
+        return device == "TPU"
+    return bool(on_device_frontend)
+
+
+def frontend_decode_fn(data_config, decode_fn):
+    """Wrap a feature-domain ``decode_fn`` for raw ``(audio, lengths)``
+    batches: the fused on-device frontend (ops/frontend.py) runs as its own
+    jit feeding the decode call — both dispatches are asynchronous, so the
+    pipelining in ``pipelined_decode`` is preserved.  Pad frames come out
+    exactly zero (frontend contract), which is what the models' masks key
+    on; SpecAugment is off at decode time so zero-detection is exact."""
+    from ..ops.frontend import make_batch_frontend
+
+    frontend = make_batch_frontend(data_config, spec_augment=False)
+
+    def _fn(batch):
+        audio, lengths = batch
+        feats, _ = frontend(audio, lengths)
+        return decode_fn(feats)
+
+    return _fn
+
+
 def round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
 

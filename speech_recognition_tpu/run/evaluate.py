@@ -22,6 +22,7 @@ parser.add_argument("--beam-size", type=int, default=0, help="not given, use gre
 parser.add_argument("--use-tfrecord", action="store_true", help="use tfrecord dataset")
 parser.add_argument("--mixed-precision", action="store_true", help="Use mixed precision")
 parser.add_argument("--device", type=str, default="CPU", help="device to run on")
+parser.add_argument("--on-device-frontend", action=argparse.BooleanOptionalAction, help="compute audio features on device (default: on for TPU tsv runs)")
 # fmt: on
 
 
@@ -54,10 +55,21 @@ def main(args: argparse.Namespace):
     logger.info(f"[+] Load Data Config from {args.data_config}")
     config = DataConfig.from_yaml(args.data_config)
 
+    from .common import frontend_decode_fn, use_raw_frontend
+
+    raw_mode = use_raw_frontend(getattr(args, "on_device_frontend", None), args.device, args.use_tfrecord)
+
     # ------------------------------------------------------------------ dataset
     if args.use_tfrecord:
         logger.info(f"[+] Load TFRecord dataset from {args.dataset_paths}")
         stream = get_tfrecord_dataset(args.dataset_paths)
+    elif raw_mode:
+        # fused on-device frontend: the host only decodes + tokenizes (the
+        # per-core host feature ceiling would otherwise cap decode
+        # throughput — PERF.md round-5/7); features fold into the device step
+        logger.info(f"[+] Load dataset from {args.dataset_paths}")
+        logger.info("[+] Fused on-device audio frontend")
+        stream = get_dataset(args.dataset_paths, config.file_format, config.sample_rate, tokenizer)
     else:
         logger.info(f"[+] Load dataset from {args.dataset_paths}")
         feature_fn = config.make_audio_feature_fn("numpy")
@@ -67,7 +79,7 @@ def main(args: argparse.Namespace):
             args.dataset_paths, config.file_format, config.sample_rate, tokenizer,
             map_fn=lambda a, t: (feature_fn(a), t),
         )
-    if config.use_delta_accelerate:
+    if config.use_delta_accelerate and not raw_mode:
         logger.info("[+] Use delta and deltas accelerate")
         stream = ((delta_accelerate(a), t) for a, t in stream)
 
@@ -100,17 +112,30 @@ def main(args: argparse.Namespace):
     # bf16 feature shipping under mixed precision: bit-identical to the
     # model's on-device astype cast, half the host->device bytes
     host_dtype = np.dtype(dtype) if args.mixed_precision else np.float32
-    batches = prefetch_stream(
-        quantized_padded_batch(
-            stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad,
-            audio_dtype=host_dtype,
-        ),
-        size=2,
-    )
+    if raw_mode:
+        from ..data.dataset import quantized_padded_raw_batch
+
+        batches = prefetch_stream(
+            quantized_padded_raw_batch(
+                stream, args.batch_size, config.frame_length, config.frame_step,
+                max_frames=audio_pad,
+            ),
+            size=2,
+        )
+    else:
+        batches = prefetch_stream(
+            quantized_padded_batch(
+                stream, args.batch_size, audio_pad_length=audio_pad, token_pad_length=token_pad,
+                audio_dtype=host_dtype,
+            ),
+            size=2,
+        )
     if args.beam_size > 0:
         decode_fn = lambda audio: searcher.beam_search(audio, args.beam_size)[0][:, 0, :]
     else:
         decode_fn = lambda audio: searcher.greedy_search(audio)[0]
+    if raw_mode:
+        decode_fn = frontend_decode_fn(config, decode_fn)
     # keep two decode calls in flight: dispatch for batch N+1 overlaps the
     # device execution of batch N (pipelined_decode docstring for numbers)
     from .common import pipelined_decode

@@ -21,6 +21,7 @@ parser.add_argument("--batch-size", type=int, default=512)
 parser.add_argument("--beam-size", type=int, default=0, help="not given, use greedy search else beam search with this value as beam size")
 parser.add_argument("--mixed-precision", action="store_true", help="Use mixed precision")
 parser.add_argument("--device", type=str, default="CPU", help="device to run on")
+parser.add_argument("--on-device-frontend", action=argparse.BooleanOptionalAction, help="compute audio features on device (default: on for TPU runs)")
 # fmt: on
 
 
@@ -56,17 +57,24 @@ def main(args: argparse.Namespace):
     logger.info(f"Load Data Config from {args.data_config}")
     config = DataConfig.from_yaml(args.data_config)
 
+    from .common import frontend_decode_fn, use_raw_frontend
+
+    raw_mode = use_raw_frontend(getattr(args, "on_device_frontend", None), args.device, False)
+
     # resample to the config rate, as the reference does (run/inference.py:59)
     load_fn = load_audio_file(config.sample_rate, config.file_format, config.sample_rate)
     feature_fn = config.make_audio_feature_fn("numpy")
 
     def stream():
-        # decode + feature extraction in a thread pool (overlaps the device
-        # decode loop; numpy FFT work releases the GIL)
+        # decode (+ feature extraction unless the fused on-device frontend
+        # handles it) in a thread pool, overlapping the device decode loop
         from ..data.dataset import parallel_map_stream
 
         def _one(path):
-            feat = feature_fn(load_fn(path))
+            audio = load_fn(path)
+            if raw_mode:
+                return audio
+            feat = feature_fn(audio)
             if config.use_delta_accelerate:
                 feat = delta_accelerate(feat)
             return feat
@@ -95,19 +103,34 @@ def main(args: argparse.Namespace):
 
     # bf16 feature shipping under mixed precision (see run/evaluate.py)
     host_dtype = np.dtype(dtype) if args.mixed_precision else np.float32
-    batches = prefetch_stream(
-        quantized_padded_batch(
-            ((feat, np.zeros(1, np.int32)) for feat in stream()),
-            args.batch_size,
-            audio_pad_length=audio_pad,
-            audio_dtype=host_dtype,
-        ),
-        size=2,
-    )
+    dummy_tokens = ((item, np.zeros(1, np.int32)) for item in stream())
+    if raw_mode:
+        logger.info("[+] Fused on-device audio frontend")
+        from ..data.dataset import quantized_padded_raw_batch
+
+        batches = prefetch_stream(
+            quantized_padded_raw_batch(
+                dummy_tokens, args.batch_size, config.frame_length, config.frame_step,
+                max_frames=audio_pad,
+            ),
+            size=2,
+        )
+    else:
+        batches = prefetch_stream(
+            quantized_padded_batch(
+                dummy_tokens,
+                args.batch_size,
+                audio_pad_length=audio_pad,
+                audio_dtype=host_dtype,
+            ),
+            size=2,
+        )
     if args.beam_size > 0:
         decode_fn = lambda audio: searcher.beam_search(audio, args.beam_size)[0][:, 0, :]
     else:
         decode_fn = lambda audio: searcher.greedy_search(audio)[0]
+    if raw_mode:
+        decode_fn = frontend_decode_fn(config, decode_fn)
     # two decode calls in flight (see run/common.py pipelined_decode)
     from .common import pipelined_decode
 

@@ -115,6 +115,19 @@ def test_train_config_bad_policy():
         TrainConfig(**_train_kwargs(device="QPU"))
 
 
+def test_decode_cli_frontend_auto():
+    """Decode CLIs resolve the same tri-state as TrainConfig: None = auto
+    (TPU tsv only); explicit flag wins; never for tfrecord."""
+    from speech_recognition_tpu.run.common import use_raw_frontend
+
+    assert use_raw_frontend(None, "TPU", False) is True
+    assert use_raw_frontend(None, "CPU", False) is False
+    assert use_raw_frontend(None, "TPU", True) is False
+    assert use_raw_frontend(False, "TPU", False) is False
+    assert use_raw_frontend(True, "CPU", False) is True
+    assert use_raw_frontend(True, "TPU", True) is False
+
+
 def test_train_config_on_device_frontend_auto():
     """None = auto: ON only for TPU tsv runs; explicit values always win
     (TPU-first default, configs/train_config.py)."""

@@ -154,6 +154,56 @@ def test_inference_cli(tmp_path, model_config):
     assert len(lines) >= 2
 
 
+@pytest.mark.parametrize("model_config", [TEST_LAS_CONFIG, TEST_DS_CONFIG])
+def test_evaluate_cli_on_device_frontend(tmp_path, model_config):
+    """Raw-PCM decode path: host only decodes+tokenizes, the fused frontend
+    (ops/frontend.py) featurizes on device ahead of the searcher (the TPU
+    tsv default; forced on here to drive it on CPU)."""
+    from speech_recognition_tpu.run.evaluate import main, parser
+
+    ckpt = _make_checkpoint(tmp_path, model_config)
+    out_tsv = str(tmp_path / "eval_raw.tsv")
+    args = parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", model_config,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", ckpt,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+        "--on-device-frontend",
+    ])
+    main(args)
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3
+
+
+def test_inference_cli_on_device_frontend(tmp_path):
+    from speech_recognition_tpu.run.inference import main, parser
+
+    ckpt = _make_checkpoint(tmp_path, TEST_LAS_CONFIG)
+    out_tsv = str(tmp_path / "inference_raw.tsv")
+    args = parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", TEST_LAS_CONFIG,
+        "--audio-files", os.path.join(TEST_DATA_DIR, "audio_files", "*.wav"),
+        "--model-path", ckpt,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+        "--on-device-frontend",
+    ])
+    main(args)
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "AudioPath\tDecodedSentence"
+    assert len(lines) >= 2
+
+
 def test_make_tfrecord_roundtrip(tmp_path):
     from speech_recognition_tpu.run.make_tfrecord import main, parser
     from speech_recognition_tpu.data import get_tfrecord_dataset
