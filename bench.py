@@ -191,6 +191,25 @@ def main():
     except Exception:
         pass
 
+    # end-to-end greedy RTF from RAW PCM: fused on-device frontend
+    # (ops/frontend.py, the TPU tsv default in all three CLIs) + decode —
+    # the full TPU-native path a user's evaluate/inference run takes
+    rtf_e2e = None
+    try:
+        from speech_recognition_tpu.configs import DataConfig
+        from speech_recognition_tpu.ops.frontend import make_batch_frontend
+
+        cfg = DataConfig.from_yaml(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "resources", "configs", "libri_config.yml")
+        )
+        frontend = make_batch_frontend(cfg, spec_augment=False)
+        S = (T - 1) * cfg.frame_step + cfg.frame_length
+        raw = jax.random.normal(rng, (B, S), jnp.float32) * 0.1
+        raw_lengths = jnp.full((B,), S, jnp.int32)
+        rtf_e2e = best_rtf(lambda: searcher.greedy_search(frontend(raw, raw_lengths)[0].astype(dtype))[0])
+    except Exception:
+        pass
+
     vs_baseline = None
     here = os.path.dirname(os.path.abspath(__file__))
     for name in ("BENCH_r01.json", "BENCH_r1.json"):
@@ -223,6 +242,7 @@ def main():
                 "mfu": mfu,
                 "mfu_analytic": mfu_analytic,
                 "rtf_greedy": rtf,
+                "rtf_greedy_e2e_raw": rtf_e2e,
                 "rtf_beam8": rtf_beam,
             }
         )
