@@ -40,7 +40,8 @@ model = DeepSpeech2(
     dtype=jnp.bfloat16,
 )
 rng = jax.random.PRNGKey(0)
-audio = jax.random.normal(rng, (B, T, 80, 1), jnp.float32)
+# bf16 features, matching the real host pipeline (SRT_HOST_BF16) and bench.py
+audio = jax.random.normal(rng, (B, T, 80, 1), jnp.bfloat16)
 tokens = jnp.concatenate(
     [jax.random.randint(rng, (B, 40), 1, V), jnp.zeros((B, 24), jnp.int32)], axis=1
 )

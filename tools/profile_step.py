@@ -26,7 +26,8 @@ outdir = f"/tmp/srt_trace/{tag}"
 B, T, N = 128, 1024, 128
 model = LAS("lstm", 16000, 256, 256, 3, 2, 0.15, 0.99, dtype=jnp.bfloat16)
 rng = jax.random.PRNGKey(0)
-audio = jax.random.normal(rng, (B, T, 80, 3), jnp.float32)
+# bf16 features, matching the real host pipeline (SRT_HOST_BF16) and bench.py
+audio = jax.random.normal(rng, (B, T, 80, 3), jnp.bfloat16)
 tokens = jax.random.randint(rng, (B, N), 1, 16000)
 variables = model.init({"params": rng}, (audio, tokens[:, :-1]))
 tx = optax.adam(linear_warmup_decay(10000, 2e-4, 1e-5))
