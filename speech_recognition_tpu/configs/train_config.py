@@ -118,15 +118,23 @@ class TrainConfig:
             "skip_epochs",
         )
 
-        if self.on_device_frontend is None:
-            # TPU-first auto: raw PCM to the chip, features fuse into the
-            # jitted step; explicit True/False (CLI or YAML) always wins
-            self.on_device_frontend = self.device == "TPU" and not self.use_tfrecord
-
         self.data_config_path = self.data_config
         self.model_config_path = self.model_config
         self.data_config = DataConfig.from_yaml(self.data_config_path)
         self.model_config = get_model_config(self.model_config_path)
+
+        if self.on_device_frontend is None:
+            # TPU-first auto: raw PCM to the chip, features fuse into the
+            # jitted step; explicit True/False (CLI or YAML) always wins.
+            # Exception: SpecAugment TIME WARP enabled — its bilinear warp
+            # gather is TPU-pathological (290 ms/batch measured vs ~2 ms for
+            # masks-only; PERF.md round-7), so warping stays in the host
+            # thread pool where it overlaps device steps.
+            sa = self.data_config.spec_augment
+            warp_on = bool(sa.enable and sa.W)
+            self.on_device_frontend = (
+                self.device == "TPU" and not self.use_tfrecord and not warp_on
+            )
 
     @classmethod
     def from_yaml(cls, file_path: str) -> "TrainConfig":

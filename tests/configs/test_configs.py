@@ -149,3 +149,26 @@ def test_train_config_on_device_frontend_auto():
         is False
     )
     assert TrainConfig(**_train_kwargs(on_device_frontend=True)).on_device_frontend is True
+
+
+def test_train_config_frontend_auto_off_under_time_warp(tmp_path):
+    """Auto keeps the frontend OFF when SpecAugment time warp is enabled
+    (device warp gather measured 290 ms/batch — PERF.md round-7); explicit
+    True still forces it."""
+    import yaml
+
+    base = _train_kwargs(device="TPU", max_over_policy="slice")
+    with open(base["data_config"]) as f:
+        data = yaml.safe_load(f)
+    data["spec_augment"]["enable"] = True
+    data["spec_augment"]["W"] = 40
+    warp_cfg = tmp_path / "warp_data_config.yml"
+    warp_cfg.write_text(yaml.safe_dump(data))
+    base["data_config"] = str(warp_cfg)
+    assert TrainConfig(**base).on_device_frontend is False
+    assert TrainConfig(**{**base, "on_device_frontend": True}).on_device_frontend is True
+    # masks-only SpecAugment keeps the auto-on default
+    data["spec_augment"]["W"] = None
+    masks_cfg = tmp_path / "masks_data_config.yml"
+    masks_cfg.write_text(yaml.safe_dump(data))
+    assert TrainConfig(**{**base, "data_config": str(masks_cfg)}).on_device_frontend is True
