@@ -241,6 +241,50 @@ def test_las_fixture_decode_parity(las_pair):
     np.testing.assert_array_equal(np.asarray(our_tokens), ref_tokens.numpy())
 
 
+def test_las_raw_frontend_decode_parity(las_pair):
+    """The raw-PCM decode path (quantized raw batching + fused on-device
+    frontend — the TPU tsv default in evaluate/inference) must produce the
+    SAME tokens as the host-featurized path on real fixture audio with the
+    converted reference weights (trained => peaked logits, so the ~1e-6
+    matmul-STFT-vs-rfft feature deltas cannot flip the decode)."""
+    from speech_recognition_tpu.configs import DataConfig
+    from speech_recognition_tpu.data import get_dataset
+    from speech_recognition_tpu.data.dataset import quantized_padded_raw_batch
+    from speech_recognition_tpu.ops.features import delta_accelerate
+    from speech_recognition_tpu.ops.frontend import make_batch_frontend
+    from speech_recognition_tpu.search import LASSearcher
+
+    from .const import DEFAULT_LIBRI_CONFIG, WAV_DATASET_PATH
+
+    _, ours, variables = las_pair
+    config = DataConfig.from_yaml(DEFAULT_LIBRI_CONFIG)
+
+    class _Tok:
+        def tokenize(self, text):
+            return [1, 2]
+
+    rows = list(get_dataset(WAV_DATASET_PATH, config.file_format, config.sample_rate, _Tok()))
+    searcher = LASSearcher(ours, variables, 16, bos_id=1, eos_id=2, pad_id=0)
+
+    # host path
+    feature_fn = config.make_audio_feature_fn("numpy")
+    feats = [delta_accelerate(feature_fn(a)) for a, _ in rows]
+    width = max(f.shape[0] for f in feats)
+    host_batch = np.stack([np.pad(f, [(0, width - f.shape[0]), (0, 0), (0, 0)]) for f in feats])
+    host_tokens, _ = searcher.greedy_search(jnp.asarray(host_batch))
+
+    # raw path (frame quantum chosen so both paths pad to the same T)
+    ((raw, lengths), _tok, n_valid), = quantized_padded_raw_batch(
+        iter(rows), len(rows), config.frame_length, config.frame_step, frame_quantum=width
+    )
+    frontend = make_batch_frontend(config, spec_augment=False)
+    raw_feats, _ = frontend(jnp.asarray(raw), jnp.asarray(lengths))
+    raw_tokens, _ = searcher.greedy_search(raw_feats)
+
+    assert n_valid == len(rows)
+    np.testing.assert_array_equal(np.asarray(raw_tokens), np.asarray(host_tokens))
+
+
 def test_ds_greedy_decode_parity(ds_pair):
     from speech_recognition.search import DeepSpeechSearcher as RefSearcher
 

@@ -280,6 +280,40 @@ def test_train_cli_batch_iterator_threads_lengths(tmp_path):
     assert (lengths > 0).all() and (lengths <= audio.shape[1]).all()
 
 
+def test_quantized_padded_raw_batch():
+    """Raw-sample batching for the fused frontend: frame-quantized sample
+    lengths, batch-axis zero padding with n_valid, and slicing of audio
+    longer than the static shape (data/dataset.py)."""
+    from speech_recognition_tpu.data.dataset import quantized_padded_raw_batch
+
+    fl, fs = 320, 160
+    rng = np.random.default_rng(0)
+    rows = [(rng.standard_normal(n).astype(np.float32), np.array([1, 2, 3][: 1 + i % 3])) for i, n in enumerate([5000, 8000, 2000])]
+
+    # dynamic quantized mode: frames quantized to 4 -> S = (frames-1)*fs + fl
+    out = list(quantized_padded_raw_batch(iter(rows), 2, fl, fs, frame_quantum=4))
+    assert len(out) == 2
+    (audio, lengths), tokens, n_valid = out[0]
+    frames = (8000 - fl) // fs + 1  # longest in batch = 48 frames
+    frames_q = ((frames + 3) // 4) * 4
+    assert audio.shape == (2, (frames_q - 1) * fs + fl)
+    assert n_valid == 2 and lengths.tolist() == [5000, 8000]
+    np.testing.assert_array_equal(audio[0, :5000], rows[0][0])
+    assert (audio[0, 5000:] == 0).all()
+
+    # remainder batch: zero rows + n_valid
+    (audio, lengths), tokens, n_valid = out[1]
+    assert n_valid == 1 and audio.shape[0] == 2
+    assert lengths[1] == 0 and (audio[1] == 0).all()
+
+    # static mode: max_frames fixes the shape; longer audio is sliced
+    ((audio, lengths), _, _), = quantized_padded_raw_batch(iter(rows[:2]), 2, fl, fs, max_frames=16)
+    S = 15 * fs + fl
+    assert audio.shape == (2, S)
+    assert lengths.tolist() == [S, S]  # both clipped to the static window
+    np.testing.assert_array_equal(audio[1], rows[1][0][:S])
+
+
 def test_pipelined_decode_orders_and_overlaps():
     """pipelined_decode keeps `depth` decode calls dispatched ahead of
     materialization and preserves input order (run/common.py)."""
