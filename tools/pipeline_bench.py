@@ -100,6 +100,18 @@ def main():
 
         run("full", full_stream(), unit_batches=True)
         run("full+prefetch", prefetch_stream(full_stream(), size=2), unit_batches=True)
+
+        # raw-PCM mode (the TPU tsv default): the host only decodes,
+        # tokenizes and stacks raw samples — features move on device
+        from speech_recognition_tpu.data.dataset import quantized_padded_raw_batch
+
+        def raw_stream():
+            raw = get_dataset(tsv_path, "wav", 16000, tokenizer, num_workers=args.workers)
+            return quantized_padded_raw_batch(
+                raw, args.batch_size, cfg.frame_length, cfg.frame_step, max_frames=2048
+            )
+
+        run("raw (frontend on device)", prefetch_stream(raw_stream(), size=2), unit_batches=True)
     finally:
         os.unlink(tsv_path)
 
