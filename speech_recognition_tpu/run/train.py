@@ -332,17 +332,19 @@ def main(cfg: TrainConfig):
                 if batch:
                     yield batch
 
+            from ..data.dataset import _stack_padded
+
             for batch in _triple_batches():
                 a_len = audio_pad or max(a.shape[0] for a, _, _ in batch)
                 t_len = token_pad or max(t.shape[0] for _, _, t in batch)
-                audio = np.stack([np.pad(a, (0, a_len - len(a))) for a, _, _ in batch])
-                lengths = np.array([int(l[0]) for _, l, _ in batch], np.int32)
-                tokens = np.stack([np.pad(t, (0, t_len - len(t))) for _, _, t in batch])
-                if static and len(batch) < batch_size:
-                    short = batch_size - len(batch)
-                    audio = np.concatenate([audio, np.zeros((short, a_len), np.float32)])
-                    lengths = np.concatenate([lengths, np.zeros(short, np.int32)])
-                    tokens = np.concatenate([tokens, np.zeros((short, t_len), np.int32)])
+                rows = batch_size if static else len(batch)
+                # single-alloc slice-assign stack: the np.pad-per-row form
+                # cost 9x at feature shapes (PERF.md round-5); raw batches
+                # are even bigger (168 MB/batch f32 at bench shapes)
+                audio = _stack_padded([a[:a_len] for a, _, _ in batch], a_len, np.float32, rows)
+                tokens = _stack_padded([t[:t_len] for _, _, t in batch], t_len, np.int32, rows)
+                lengths = np.zeros(rows, np.int32)
+                lengths[: len(batch)] = [min(int(l[0]), a_len) for _, l, _ in batch]
                 if is_las:
                     yield ((audio, lengths), tokens[:, :-1]), tokens[:, 1:]
                 else:
