@@ -154,8 +154,10 @@ def test_inference_cli(tmp_path, model_config):
     assert len(lines) >= 2
 
 
-@pytest.mark.parametrize("model_config", [TEST_LAS_CONFIG, TEST_DS_CONFIG])
-def test_evaluate_cli_on_device_frontend(tmp_path, model_config):
+@pytest.mark.parametrize(
+    "model_config,beam", [(TEST_LAS_CONFIG, 0), (TEST_LAS_CONFIG, 2), (TEST_DS_CONFIG, 0)]
+)
+def test_evaluate_cli_on_device_frontend(tmp_path, model_config, beam):
     """Raw-PCM decode path: host only decodes+tokenizes, the fused frontend
     (ops/frontend.py) featurizes on device ahead of the searcher (the TPU
     tsv default; forced on here to drive it on CPU)."""
@@ -171,6 +173,7 @@ def test_evaluate_cli_on_device_frontend(tmp_path, model_config):
         "--sp-model-path", SP_MODEL_LIBRI,
         "--output-path", out_tsv,
         "--batch-size", "2",
+        "--beam-size", str(beam),
         "--device", "CPU",
         "--on-device-frontend",
     ])
