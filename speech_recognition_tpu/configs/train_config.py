@@ -83,6 +83,10 @@ class TrainConfig:
     bucket_boundaries: Optional[str] = None
     # resume from the newest checkpoint in <output>/models automatically
     auto_resume: bool = False
+    # tensor-parallel degree: vocab-dimension parameters (embedding + vocab
+    # projections) shard over the mesh's 'model' axis; remaining devices form
+    # the data axis.  1 = pure data parallelism (the reference's only mode)
+    model_parallel: int = 1
 
     def __post_init__(self):
         required = [
@@ -116,7 +120,10 @@ class TrainConfig:
             "shuffle_buffer_size",
             "tensorboard_update_freq",
             "skip_epochs",
+            "model_parallel",
         )
+        if self.model_parallel < 1:
+            raise ConfigValidationError("'model_parallel' must be >= 1")
 
         self.data_config_path = self.data_config
         self.model_config_path = self.model_config

@@ -252,19 +252,29 @@ def write_records(path: str, records: Iterable[bytes], compression: str = "GZIP"
             f.write(struct.pack("<I", _masked_crc(data)))
 
 
-def read_example_dataset(paths, skip: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+def read_example_dataset(paths, skip: int = 0, shard=None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Read (features float32 [T,F,1], tokens int32 [N]) pairs from TFRecords.
 
     Wire-compatible with reference data.py:64-79 / make_tfrecord.py:39-43.
     ``skip`` drops the first N records before the (expensive) nested
     TensorProto parse — cheap epoch-resume fast-forwarding.
+    ``shard=(index, count)`` keeps only global records ``g`` with
+    ``g % count == index`` (multi-host split): non-owned records are still
+    CRC-framed through (sequential container) but never TensorProto-parsed.
+    ``skip`` then counts local (post-shard) records.
     """
     from ..utils.io import glob
 
     if isinstance(paths, str):
         paths = glob(paths)
+    index, count = shard if shard is not None else (0, 1)
+    g = 0
     for path in paths:
         for record in read_records(path):
+            owned = (g % count) == index
+            g += 1
+            if not owned:
+                continue
             if skip:
                 skip -= 1
                 continue

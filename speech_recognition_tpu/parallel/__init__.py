@@ -4,6 +4,7 @@ from .mesh import (
     get_active_mesh,
     get_device_mesh,
     get_num_devices,
+    process_shard,
     set_active_mesh,
     shard_batch,
     shard_params,
@@ -15,6 +16,7 @@ __all__ = [
     "get_active_mesh",
     "get_device_mesh",
     "get_num_devices",
+    "process_shard",
     "set_active_mesh",
     "shard_batch",
     "shard_params",

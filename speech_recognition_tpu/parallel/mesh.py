@@ -83,12 +83,36 @@ def get_device_mesh(
     return mesh
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays with the leading batch dim over 'data'."""
+def process_shard() -> Optional[tuple]:
+    """(process_index, process_count) when running multi-host, else None.
+
+    The dataset layer strides rows by this (data/dataset.py ``shard=``) so
+    each host feeds a disjoint split — the role TPUStrategy's automatic
+    dataset distribution played for the reference (utils.py:130-156).
+    """
+    count = jax.process_count()
+    return (jax.process_index(), count) if count > 1 else None
+
+
+def shard_batch(batch, mesh: Mesh, multihost: Optional[bool] = None):
+    """Place a pytree of host arrays with the leading batch dim over 'data'.
+
+    Single-host: a plain ``device_put`` with the NamedSharding.  Multi-host
+    (``jax.process_count() > 1``, or ``multihost=True`` for tests): each
+    process holds only its LOCAL rows (``global_batch / process_count`` —
+    the dataset layer's ``shard=`` stride), and
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    across processes without any cross-host copy of remote rows.
+    """
+    if multihost is None:
+        multihost = jax.process_count() > 1
 
     def _put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -50,11 +50,17 @@ parser.add_argument("--profile-steps", type=int, help="capture a jax.profiler tr
 parser.add_argument("--on-device-frontend", action=argparse.BooleanOptionalAction, help="fuse the audio feature frontend into the on-device training step (default: on for TPU tsv runs; --no-on-device-frontend reverts to host features)")
 parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio-length bucket boundaries for bucketed batching, e.g. 512,1024,2048")
 parser.add_argument("--auto-resume", action="store_true", help="resume from the newest checkpoint in <output>/models (sets pretrained path + skip-epochs)")
+parser.add_argument("--model-parallel", type=int, help="tensor-parallel degree: shard vocab-dimension parameters over the mesh's 'model' axis (default 1 = pure data parallelism)")
 # fmt: on
 
 
-def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
-    """Return a zero-arg callable producing the (features, tokens) stream."""
+def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool, shard=None):
+    """Return a zero-arg callable producing the (features, tokens) stream.
+
+    ``shard=(process_index, process_count)`` strides the dataset rows for
+    multi-host runs (each host decodes only the rows its devices consume;
+    see data/dataset.py).
+    """
     from ..data import filter_example, get_dataset, get_tfrecord_dataset, slice_example
     from ..ops.features import delta_accelerate
     from ..ops.spec_augment import make_spec_augment
@@ -79,7 +85,7 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
         import jax
 
         if cfg.use_tfrecord:
-            stream = get_tfrecord_dataset(paths, skip=skip)
+            stream = get_tfrecord_dataset(paths, skip=skip, shard=shard)
         else:
             # feature extraction runs inside the decode thread pool (numpy
             # FFT releases the GIL) instead of serializing in this generator
@@ -91,6 +97,7 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool):
                 shuffle=train and cfg.shuffle_buffer_size > 1,
                 skip=skip,
                 map_fn=None if raw_mode else (lambda a, t: (feature_fn(a), t)),
+                shard=shard,
             )
             if raw_mode:
                 # raw PCM to the device; features/SpecAugment/delta fuse into
@@ -192,9 +199,31 @@ def main(cfg: TrainConfig):
         with open_file(cfg.sp_model_path, "rb") as f:
             tokenizer = SentencePieceTokenizer(f.read(), add_bos=True, add_eos=True)
 
+    # multi-host: each process decodes a disjoint row stride and feeds only
+    # its addressable devices' share of the global batch
+    from ..parallel import process_shard
+
+    host_shard = process_shard()
+    if host_shard is not None:
+        idx, cnt = host_shard
+        if cfg.batch_size % cnt or cfg.dev_batch_size % cnt:
+            raise ValueError(
+                f"batch sizes ({cfg.batch_size}/{cfg.dev_batch_size}) must divide "
+                f"by the process count {cnt} for multi-host training"
+            )
+        if not cfg.steps_per_epoch:
+            # without a fixed step count per epoch, hosts whose shards round
+            # to different batch counts would deadlock the collectives
+            raise ValueError("multi-host training requires --steps-per-epoch")
+        logger.info(f"[+] Multi-host: process {idx}/{cnt}, dataset stride shard")
+
     logger.info(f"[+] Load train dataset from {cfg.train_dataset_paths}")
-    train_factory = build_dataset_factory(cfg, tokenizer, train=True)
+    train_factory = build_dataset_factory(cfg, tokenizer, train=True, shard=host_shard)
     logger.info(f"[+] Load dev dataset from {cfg.dev_dataset_paths}")
+    # dev is NOT stride-sharded: every host reads the full dev set and takes
+    # its own rows from each GLOBAL batch, so all hosts run the exact same
+    # number of eval steps (a stride split can differ by one batch per host
+    # and deadlock the eval collectives)
     dev_factory = build_dataset_factory(cfg, tokenizer, train=False)
 
     # ------------------------------------------------------------------ model
@@ -238,24 +267,38 @@ def main(cfg: TrainConfig):
     static = cfg.max_over_policy is not None or cfg.device == "TPU"
 
     # data-parallel degree: the largest device count dividing both batch sizes;
-    # partial batches only exist in dynamic mode, so sharding requires static
+    # partial batches only exist in dynamic mode, so sharding requires static.
+    # With --model-parallel, 'model'-axis devices come off the top first.
     import jax as _jax
 
     n_devices = len(_jax.devices())
+    mp = cfg.model_parallel
+    if n_devices % mp:
+        raise ValueError(f"model_parallel={mp} does not divide the {n_devices} devices")
+    if mp > 1 and not static:
+        raise ValueError("model_parallel requires static shapes (set max-over-policy or TPU)")
+    procs = _jax.process_count()
+    if procs > 1 and not static:
+        raise ValueError("multi-host training requires static shapes (set max-over-policy or TPU)")
     dp = 1
     if static:
-        for d in range(min(n_devices, cfg.batch_size), 0, -1):
-            if cfg.batch_size % d == 0 and cfg.dev_batch_size % d == 0:
+        for d in range(min(n_devices // mp, cfg.batch_size), 0, -1):
+            if cfg.batch_size % d == 0 and cfg.dev_batch_size % d == 0 and d % procs == 0:
                 dp = d
                 break
-    mesh = get_device_mesh(data_parallel=dp, model_parallel=1)
+        if procs > 1 and dp % procs:
+            raise ValueError(
+                f"no data-parallel degree <= {n_devices // mp} divides the batch "
+                f"sizes while spanning all {procs} processes"
+            )
+    mesh = get_device_mesh(data_parallel=dp, model_parallel=mp)
     multi_device = mesh.devices.size > 1
     if multi_device:
         logger.info(f"[+] SPMD over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         state = state.replace(
-            params=shard_params(state.params, mesh),
+            params=shard_params(state.params, mesh, tensor_parallel=mp > 1),
             batch_stats=shard_params(state.batch_stats, mesh),
-            opt_state=shard_params(state.opt_state, mesh),
+            opt_state=shard_params(state.opt_state, mesh, tensor_parallel=mp > 1),
         )
 
     is_las = isinstance(model, LAS)
@@ -302,12 +345,19 @@ def main(cfg: TrainConfig):
         audio_pad = cfg.audio_pad_length if static else None
     token_pad = cfg.token_pad_length if static else None
 
+    # per-process (local) feed: each host batches its stride of the dataset
+    # into batch_size/process_count rows; shard_batch assembles the global
+    # array across hosts (parallel/mesh.py)
+    local_batch_size = cfg.batch_size // procs
+    local_dev_batch_size = cfg.dev_batch_size // procs
+
     skip_count = (cfg.steps_per_epoch or 0) * cfg.skip_epochs * cfg.batch_size
     if skip_count and cfg.train_dataset_size:
         # the repeated stream wraps around the dataset: row-level skip is
         # modulo the dataset size (reference dataset.repeat().skip semantics)
         skip_count %= cfg.train_dataset_size
-    skip_examples = {"count": skip_count}
+    # sharded streams skip local rows (global stride / process count)
+    skip_examples = {"count": skip_count // procs}
 
     def batch_iterator(factory, batch_size, train: bool, epoch: int = 0):
         # deterministic resume: fast-forward happens at tsv-row/record level
@@ -392,7 +442,8 @@ def main(cfg: TrainConfig):
 
     # --------------------------------------------------------------- training
     logger.info("[+] Start training")
-    writer = _make_summary_writer(path_join(cfg.output_path, "logs"))
+    # multi-host: only process 0 writes TensorBoard events
+    writer = _make_summary_writer(path_join(cfg.output_path, "logs")) if procs == 1 or _jax.process_index() == 0 else None
     rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
     global_step = 0
     samples_seen = 0
@@ -407,7 +458,7 @@ def main(cfg: TrainConfig):
         persistent_train_iter = prefetch_stream(
             batch_iterator(
                 lambda skip=0: repeat_stream(train_factory, first_skip=skip),
-                cfg.batch_size,
+                local_batch_size,
                 train=True,
             ),
             size=2,
@@ -440,7 +491,7 @@ def main(cfg: TrainConfig):
             from ..data.dataset import prefetch_stream
 
             train_iter = prefetch_stream(
-                batch_iterator(train_factory, cfg.batch_size, train=True, epoch=epoch), size=2
+                batch_iterator(train_factory, local_batch_size, train=True, epoch=epoch), size=2
             )
         for model_input, y_true in train_iter:
             if cfg.profile_steps and epoch == cfg.skip_epochs and steps == 1 and not profiling:
@@ -484,6 +535,13 @@ def main(cfg: TrainConfig):
         for model_input, y_true in _prefetch(
             batch_iterator(dev_factory, cfg.dev_batch_size, train=False), size=2
         ):
+            if host_shard is not None:
+                # every host iterates the full dev set at the GLOBAL batch
+                # size; slice out this host's rows of each batch
+                lo = _jax.process_index() * local_dev_batch_size
+                _slice = lambda x: x[lo : lo + local_dev_batch_size]
+                model_input = jax.tree_util.tree_map(_slice, model_input)
+                y_true = jax.tree_util.tree_map(_slice, y_true)
             if multi_device:
                 model_input = shard_batch(model_input, mesh)
                 y_true = shard_batch(y_true, mesh)
@@ -510,8 +568,20 @@ def main(cfg: TrainConfig):
             "val_accuracy": summary.get("val_accuracy", 0.0),
         })
         ckpt_path = path_join(cfg.output_path, "models", name)
-        save_weights(ckpt_path, state.variables)
-        logger.info(f"[+] Saved checkpoint to {ckpt_path}")
+        variables_out = state.variables
+        if procs > 1:
+            # gather TP-sharded leaves to fully-replicated host values (a
+            # collective: every process participates), then only process 0
+            # writes the checkpoint
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            variables_out = jax.tree_util.tree_map(
+                lambda x: np.asarray(jax.device_put(x, NamedSharding(mesh, _P()))),
+                variables_out,
+            )
+        if procs == 1 or _jax.process_index() == 0:
+            save_weights(ckpt_path, variables_out)
+            logger.info(f"[+] Saved checkpoint to {ckpt_path}")
 
     if writer:
         writer.flush()

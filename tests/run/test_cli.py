@@ -235,6 +235,19 @@ def test_train_cli_on_device_frontend(tmp_path, model_config):
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
 
 
+def test_train_cli_model_parallel(tmp_path):
+    """--model-parallel 2 on the virtual 8-device mesh: vocab-dimension
+    params shard over 'model', batch over the remaining 'data' devices —
+    the TP path as a user-facing CLI feature, not just a dryrun special."""
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, TEST_LAS_CONFIG, extra=["--model-parallel", "2"])
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
 def test_train_cli_bucketed(tmp_path):
     from speech_recognition_tpu.run.train import main, parser
     from speech_recognition_tpu.configs import TrainConfig

@@ -1,0 +1,114 @@
+"""Multi-host data-split coverage.
+
+On a real TPU pod every jax process must feed its addressable devices a
+disjoint slice of the dataset — the job TPUStrategy's automatic dataset
+distribution did for the reference (reference speech_recognition/utils.py:
+130-156).  Here that is the ``shard=(index, count)`` stride in the dataset
+layer plus ``jax.make_array_from_process_local_data`` assembly in
+``parallel.shard_batch``.  True multi-process execution cannot run in this
+single-host environment; these tests pin the row-ownership arithmetic and
+drive the multihost assembly API on the virtual mesh (where the one process
+owns every shard, so local == global).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_recognition_tpu.data import get_dataset, get_tfrecord_dataset
+from speech_recognition_tpu.data.tokenizer import SentencePieceTokenizer
+from speech_recognition_tpu.data.tfrecord import serialize_example, write_records
+
+from .const import SP_MODEL_LIBRI, TEST_DATA_DIR
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    with open(SP_MODEL_LIBRI, "rb") as f:
+        return SentencePieceTokenizer(f.read(), add_bos=True, add_eos=True)
+
+
+def _write_tsv(path, n_rows, start=0):
+    with open(path, "w") as f:
+        f.write("FilePath\tText\n")
+        for i in range(start, start + n_rows):
+            f.write(f"audio_files/test.wav\trow {i}\n")
+
+
+def _texts(stream, tokenizer):
+    return [tuple(tokenizer.detokenize([int(t) for t in tokens]).split()) for _, tokens in stream]
+
+
+def test_tsv_shards_are_disjoint_and_cover(tmp_path, tokenizer):
+    # two tsv files: the stride must continue across the file boundary
+    os.symlink(os.path.join(TEST_DATA_DIR, "audio_files"), tmp_path / "audio_files")
+    _write_tsv(tmp_path / "a.tsv", 3, start=0)
+    _write_tsv(tmp_path / "b.tsv", 4, start=3)
+    paths = f"{tmp_path}/*.tsv"  # glob sorts: a.tsv then b.tsv
+
+    def rows(shard=None, skip=0):
+        return _texts(
+            get_dataset(paths, "wav", 16000, tokenizer, shard=shard, skip=skip), tokenizer
+        )
+
+    full = rows()
+    assert len(full) == 7
+    count = 3
+    shards = [rows(shard=(i, count)) for i in range(count)]
+    # global row g belongs to shard g % count, order-preserved
+    for i, got in enumerate(shards):
+        assert got == full[i::count]
+    # disjoint cover
+    assert sorted(sum(shards, [])) == sorted(full)
+    # skip counts LOCAL (post-shard) rows
+    assert rows(shard=(1, count), skip=1) == full[1::count][1:]
+
+
+def test_tfrecord_shards_are_disjoint_and_cover(tmp_path):
+    path = str(tmp_path / "data.tfrecord")
+    examples = [
+        (np.full((4, 2, 1), i, np.float32), np.array([i, i + 1], np.int32)) for i in range(9)
+    ]
+    write_records(path, [serialize_example(a, t) for a, t in examples])
+
+    def ids(shard=None, skip=0):
+        return [int(t[0]) for _, t in get_tfrecord_dataset(path, skip=skip, shard=shard)]
+
+    full = ids()
+    assert full == list(range(9))
+    count = 4
+    shards = [ids(shard=(i, count)) for i in range(count)]
+    for i, got in enumerate(shards):
+        assert got == full[i::count]
+    assert sorted(sum(shards, [])) == full
+    assert ids(shard=(2, count), skip=1) == full[2::count][1:]
+
+
+def test_shard_batch_multihost_assembly_matches_device_put():
+    import jax
+
+    from speech_recognition_tpu.parallel import get_device_mesh, shard_batch
+    from speech_recognition_tpu.parallel.mesh import set_active_mesh
+
+    mesh = get_device_mesh(data_parallel=4, model_parallel=2)
+    try:
+        batch = (
+            np.arange(8 * 5, dtype=np.float32).reshape(8, 5),
+            np.arange(8, dtype=np.int32),
+        )
+        plain = shard_batch(batch, mesh, multihost=False)
+        # single process owns every shard: process-local data == global data,
+        # so the multihost assembly path must produce the identical array
+        assembled = shard_batch(batch, mesh, multihost=True)
+        for a, b in zip(jax.tree_util.tree_leaves(plain), jax.tree_util.tree_leaves(assembled)):
+            assert a.sharding == b.sharding
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        set_active_mesh(None)
+
+
+def test_process_shard_single_host_is_none():
+    from speech_recognition_tpu.parallel import process_shard
+
+    assert process_shard() is None
