@@ -1,3 +1,4 @@
+from .pipeline import gpipe, stack_params, stack_stage_fn
 from .mesh import (
     active_mesh,
     data_axis_size,
@@ -11,6 +12,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "gpipe",
+    "stack_params",
+    "stack_stage_fn",
     "active_mesh",
     "data_axis_size",
     "get_active_mesh",
