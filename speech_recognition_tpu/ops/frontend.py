@@ -66,6 +66,80 @@ def make_batch_frontend(config: DataConfig, spec_augment: bool = False):
     return jax.jit(frontend)
 
 
+def make_sp_batch_frontend(
+    config: DataConfig,
+    mesh,
+    seq_axis: str = "model",
+    data_axis: Optional[str] = None,
+    spec_augment: bool = False,
+):
+    """Sequence-parallel variant of :func:`make_batch_frontend`.
+
+    The sample -> feature chain (framing, matmul STFT, mel/MFCC — the FLOPs)
+    computes time-sharded over the mesh's ``seq_axis`` with a one-ppermute
+    sample halo (``parallel/sequence.py``): on a tensor-parallel mesh the
+    ``model`` axis participates in the frontend instead of idling through
+    it.  SpecAugment masks and delta-accelerate stay on the assembled
+    features (cheap elementwise; XLA re-shards as needed).  Identical
+    output contract and numerics to the base frontend
+    (``tests/test_sequence_parallel.py`` pins exact equality).
+
+    Requires ``frame_length % frame_step == 0`` (all shipped configs:
+    320/160) so each shard owns whole step-blocks.
+    """
+    from ..parallel.sequence import time_sharded
+
+    fl, fs = config.frame_length, config.frame_step
+    if fl % fs:
+        raise ValueError("sequence-parallel frontend requires frame_length % frame_step == 0")
+    n = mesh.shape[seq_axis]
+    halo = fl - fs
+    feature_fn = config.make_audio_feature_fn("jax")
+    sa_fn = None
+    if spec_augment and config.spec_augment.enable:
+        sa = config.spec_augment
+        sa_fn = make_spec_augment(
+            v=config.frequency_dim, W=sa.W, F=sa.F, m_F=sa.m_F, T=sa.T, p=sa.p, m_T=sa.m_T
+        )
+
+    sp_features = time_sharded(
+        lambda a: jax.vmap(feature_fn)(a),
+        mesh,
+        seq_axis,
+        time_axis=1,
+        halo_right=halo,
+        data_axis=data_axis,
+    )
+
+    def frontend(audio: jnp.ndarray, sample_lengths: jnp.ndarray, key: Optional[jax.Array] = None):
+        B, S = audio.shape
+        num_frames = (S - fl) // fs + 1
+        # pad so every shard owns an equal whole number of step blocks; the
+        # spurious tail frames (zero-halo windows past the signal) are
+        # sliced off after assembly
+        blocks = -(-S // fs)
+        blocks_pad = -(-blocks // n) * n
+        if blocks_pad * fs != S:
+            audio = jnp.pad(audio, ((0, 0), (0, blocks_pad * fs - S)))
+        feats = sp_features(audio)[:, :num_frames]
+
+        valid = jnp.maximum((sample_lengths - fl) // fs + 1, 0)
+        frame_mask = jnp.arange(num_frames)[None, :] < valid[:, None]
+        feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+
+        if sa_fn is not None and key is not None:
+            keys = jax.random.split(key, feats.shape[0])
+            feats = jax.vmap(sa_fn)(keys, feats)
+            feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+
+        if config.use_delta_accelerate:
+            feats = jax.vmap(F.delta_accelerate)(feats)
+            feats = feats * frame_mask[:, :, None, None].astype(feats.dtype)
+        return feats, valid
+
+    return jax.jit(frontend)
+
+
 def pad_audio_batch(audios, max_samples: int):
     """Host helper: stack raw 1-D audios -> ([B, max_samples] f32, lengths [B])."""
     lengths = np.array([min(len(a), max_samples) for a in audios], np.int32)

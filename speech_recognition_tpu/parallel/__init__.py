@@ -1,4 +1,5 @@
 from .pipeline import gpipe, stack_params, stack_stage_fn
+from .sequence import halo_exchange, time_sharded
 from .mesh import (
     active_mesh,
     data_axis_size,
@@ -13,6 +14,8 @@ from .mesh import (
 
 __all__ = [
     "gpipe",
+    "halo_exchange",
+    "time_sharded",
     "stack_params",
     "stack_stage_fn",
     "active_mesh",
