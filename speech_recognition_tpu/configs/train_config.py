@@ -87,6 +87,10 @@ class TrainConfig:
     # projections) shard over the mesh's 'model' axis; remaining devices form
     # the data axis.  1 = pure data parallelism (the reference's only mode)
     model_parallel: int = 1
+    # accumulate gradients over N train steps before each optimizer update
+    # (optax.MultiSteps): effective batch = N * batch_size without N x the
+    # activation memory.  The LR schedule advances per optimizer UPDATE
+    grad_accum_steps: int = 1
 
     def __post_init__(self):
         required = [
@@ -121,9 +125,12 @@ class TrainConfig:
             "tensorboard_update_freq",
             "skip_epochs",
             "model_parallel",
+            "grad_accum_steps",
         )
         if self.model_parallel < 1:
             raise ConfigValidationError("'model_parallel' must be >= 1")
+        if self.grad_accum_steps < 1:
+            raise ConfigValidationError("'grad_accum_steps' must be >= 1")
 
         self.data_config_path = self.data_config
         self.model_config_path = self.model_config

@@ -51,6 +51,7 @@ parser.add_argument("--on-device-frontend", action=argparse.BooleanOptionalActio
 parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio-length bucket boundaries for bucketed batching, e.g. 512,1024,2048")
 parser.add_argument("--auto-resume", action="store_true", help="resume from the newest checkpoint in <output>/models (sets pretrained path + skip-epochs)")
 parser.add_argument("--model-parallel", type=int, help="tensor-parallel degree: shard vocab-dimension parameters over the mesh's 'model' axis (default 1 = pure data parallelism)")
+parser.add_argument("--grad-accum-steps", type=int, help="accumulate gradients over N train steps before each optimizer update (effective batch = N * batch-size; the LR schedule counts optimizer updates)")
 # fmt: on
 
 
@@ -251,15 +252,21 @@ def main(cfg: TrainConfig):
         variables = dict(restore_weights(cfg.pretrained_model_path, variables))
 
     # -------------------------------------------------------------- optimizer
+    accum = max(cfg.grad_accum_steps, 1)
     schedule = linear_warmup_decay(
-        cfg.total_steps,
+        cfg.total_steps // accum,
         cfg.learning_rate,
         cfg.min_learning_rate,
         cfg.warmup_rate,
         cfg.warmup_steps,
-        cfg.offset_steps,
+        cfg.offset_steps // accum,
     )
     tx = optax.adam(schedule, eps=1e-7)  # Keras Adam epsilon
+    if accum > 1:
+        # average grads over N steps, apply once (effective batch N * B);
+        # the inner optimizer (and so the LR schedule) steps per APPLY
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        logger.info(f"[+] Gradient accumulation over {accum} steps")
     state = TrainState.create(variables, tx)
 
     # static shapes whenever lengths are bounded (policy set or TPU); otherwise

@@ -248,6 +248,20 @@ def test_train_cli_model_parallel(tmp_path):
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
 
 
+def test_train_cli_grad_accum(tmp_path):
+    """--grad-accum-steps 2: optax.MultiSteps averages grads over 2 steps
+    per optimizer update (effective batch 2x without 2x activation memory)."""
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, TEST_LAS_CONFIG, extra=["--grad-accum-steps", "2"])
+    # 2 accumulation steps per update, 2 steps per epoch -> 1 update/epoch
+    args[args.index("--steps-per-epoch") + 1] = "2"
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
 def test_train_cli_bucketed(tmp_path):
     from speech_recognition_tpu.run.train import main, parser
     from speech_recognition_tpu.configs import TrainConfig
