@@ -15,7 +15,21 @@ def select_device(device: str) -> None:
     previous = jax.config.jax_platforms
     try:
         jax.config.update("jax_platforms", platform)
-        jax.devices()
+        if jax.devices()[0].platform.lower() != platform and not (
+            # vendor-named TPU plugins (device_kind says TPU) are already the
+            # right backend; clearing them can drop a tunnel client that
+            # cannot be re-initialized
+            platform == "tpu"
+            and _default_devices_are_tpu()
+        ):
+            # a different backend was already initialized before this CLI ran
+            # (e.g. jax preloaded by the embedding process): config updates
+            # alone don't re-resolve it — drop the live backends and let the
+            # next devices() call honor the requested platform
+            from jax.extend import backend as jax_backend
+
+            jax_backend.clear_backends()
+            jax.devices()
     except RuntimeError as e:
         jax.config.update("jax_platforms", previous)
         # TPU PJRT plugins can register under a vendor platform name (e.g.
@@ -116,6 +130,36 @@ def frontend_decode_fn(data_config, decode_fn):
         return decode_fn(feats)
 
     return _fn
+
+
+def sharded_decode_fn(decode_fn, batch_size: int):
+    """SPMD decode for the evaluate/inference CLIs: shard each batch's rows
+    over a ('data',) mesh when more than one device is visible and the batch
+    divides.  Returns ``(wrapped_fn, mesh_or_None)``.
+
+    The jitted search loops are batch-parallel, so XLA partitions them over
+    the batch axis exactly like the train step; the fused Pallas search
+    kernels ride their shard_map port (ops/pallas/sharding.py) through the
+    registered active mesh.  Replaces what Keras ``predict`` under a
+    distribution strategy did for the reference (reference
+    run/evaluate.py:79-84 with utils.py:130-156).
+    """
+    from ..parallel import get_device_mesh, shard_batch
+
+    n = len(jax.devices())
+    dp = 1
+    for d in range(min(n, batch_size), 0, -1):
+        if batch_size % d == 0:
+            dp = d
+            break
+    if dp <= 1:
+        return decode_fn, None
+    mesh = get_device_mesh(data_parallel=dp, model_parallel=1)
+
+    def _fn(batch):
+        return decode_fn(shard_batch(batch, mesh))
+
+    return _fn, mesh
 
 
 def round_up(value: int, multiple: int) -> int:

@@ -136,6 +136,12 @@ def main(args: argparse.Namespace):
         decode_fn = lambda audio: searcher.greedy_search(audio)[0]
     if raw_mode:
         decode_fn = frontend_decode_fn(config, decode_fn)
+    # multi-device: shard the batch rows over a data mesh (SPMD decode)
+    from .common import sharded_decode_fn
+
+    decode_fn, decode_mesh = sharded_decode_fn(decode_fn, args.batch_size)
+    if decode_mesh is not None:
+        logger.info(f"[+] SPMD decode over mesh {dict(zip(decode_mesh.axis_names, decode_mesh.devices.shape))}")
     # keep two decode calls in flight: dispatch for batch N+1 overlaps the
     # device execution of batch N (pipelined_decode docstring for numbers)
     from .common import pipelined_decode

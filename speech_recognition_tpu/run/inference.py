@@ -131,6 +131,12 @@ def main(args: argparse.Namespace):
         decode_fn = lambda audio: searcher.greedy_search(audio)[0]
     if raw_mode:
         decode_fn = frontend_decode_fn(config, decode_fn)
+    # multi-device: shard the batch rows over a data mesh (SPMD decode)
+    from .common import sharded_decode_fn
+
+    decode_fn, decode_mesh = sharded_decode_fn(decode_fn, args.batch_size)
+    if decode_mesh is not None:
+        logger.info(f"[+] SPMD decode over mesh {dict(zip(decode_mesh.axis_names, decode_mesh.devices.shape))}")
     # two decode calls in flight (see run/common.py pipelined_decode)
     from .common import pipelined_decode
 

@@ -144,3 +144,43 @@ def test_shard_batch_places_on_data_axis(eight_devices):
     x = np.zeros((16, 4), np.float32)
     placed = shard_batch(x, mesh)
     assert "data" in str(placed.sharding)
+
+
+def test_sharded_decode_matches_single_device(eight_devices):
+    """run.common.sharded_decode_fn: SPMD greedy decode over the 'data' axis
+    must produce exactly the single-device tokens (both models)."""
+    from speech_recognition_tpu.parallel import set_active_mesh
+    from speech_recognition_tpu.run.common import sharded_decode_fn
+    from speech_recognition_tpu.search import DeepSpeechSearcher, LASSearcher
+
+    rng = jax.random.PRNGKey(3)
+    try:
+        # LAS greedy
+        set_active_mesh(None)
+        las = LAS("gru", 32, 8, 8, 1, 1, 0.0, 1.0)
+        audio = jax.random.uniform(rng, (8, 24, 10, 3), minval=0.1)
+        variables = las.init({"params": rng}, (audio, jnp.zeros((8, 4), jnp.int32)))
+        searcher = LASSearcher(las, variables, 6, bos_id=1, eos_id=2)
+        plain = lambda a: searcher.greedy_search(a)[0]
+        ref = np.asarray(plain(audio))
+        wrapped, mesh = sharded_decode_fn(plain, batch_size=8)
+        assert mesh is not None and mesh.shape["data"] == 8
+        np.testing.assert_array_equal(np.asarray(wrapped(np.asarray(audio))), ref)
+
+        # DS2 CTC greedy
+        set_active_mesh(None)
+        ds2 = DeepSpeech2(1, (4,), ((11, 5),), ((2, 2),), "gru", 1, 8, 0.0, 0.0, 32, 14)
+        audio2 = jax.random.uniform(rng, (8, 64, 12, 1), minval=0.1)
+        vars2 = ds2.init({"params": rng}, audio2)
+        searcher2 = DeepSpeechSearcher(ds2, vars2, blank_index=0)
+        plain2 = lambda a: searcher2.greedy_search(a)[0]
+        ref2 = np.asarray(plain2(audio2))
+        wrapped2, mesh2 = sharded_decode_fn(plain2, batch_size=8)
+        assert mesh2 is not None
+        np.testing.assert_array_equal(np.asarray(wrapped2(np.asarray(audio2))), ref2)
+
+        # batch not divisible beyond 1 -> identity (no mesh)
+        _, no_mesh = sharded_decode_fn(plain, batch_size=1)
+        assert no_mesh is None
+    finally:
+        set_active_mesh(None)
