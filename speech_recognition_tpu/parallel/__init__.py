@@ -1,3 +1,4 @@
+from .expert import expert_parallel_moe, init_moe_params, moe_ffn
 from .pipeline import gpipe, stack_params, stack_stage_fn
 from .sequence import halo_exchange, time_sharded
 from .mesh import (
@@ -13,6 +14,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "expert_parallel_moe",
+    "init_moe_params",
+    "moe_ffn",
     "gpipe",
     "halo_exchange",
     "time_sharded",
