@@ -91,6 +91,11 @@ class TrainConfig:
     # (optax.MultiSteps): effective batch = N * batch_size without N x the
     # activation memory.  The LR schedule advances per optimizer UPDATE
     grad_accum_steps: int = 1
+    # ZeRO-3-style fully-sharded data parallelism: shard every large
+    # parameter and its optimizer state over the 'data' mesh axis (weights
+    # all-gather at use sites, gradients reduce-scatter — XLA derives the
+    # schedule from the input shardings).  Composes with model_parallel
+    fsdp: bool = False
 
     def __post_init__(self):
         required = [

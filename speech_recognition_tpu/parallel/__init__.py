@@ -4,6 +4,7 @@ from .sequence import halo_exchange, time_sharded
 from .mesh import (
     active_mesh,
     data_axis_size,
+    fsdp_spec,
     get_active_mesh,
     get_device_mesh,
     get_num_devices,
@@ -24,6 +25,7 @@ __all__ = [
     "stack_stage_fn",
     "active_mesh",
     "data_axis_size",
+    "fsdp_spec",
     "get_active_mesh",
     "get_device_mesh",
     "get_num_devices",

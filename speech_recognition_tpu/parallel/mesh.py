@@ -135,17 +135,56 @@ def param_spec(path: str, param) -> P:
     return P(*([None] * getattr(param, "ndim", 0)))
 
 
-def shard_params(variables, mesh: Mesh, tensor_parallel: bool = False):
-    """Place model variables on the mesh: replicated, or TP-sharded when asked."""
-    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+def fsdp_spec(param, data_size: int, min_size: int = 2**14) -> P:
+    """ZeRO-3-style PartitionSpec: shard the largest axis over 'data'.
+
+    Leaves smaller than ``min_size`` elements, and leaves with no axis
+    divisible by ``data_size``, stay replicated (collective latency beats
+    the memory win on tiny tensors).  Because the spec depends only on the
+    leaf shape, a parameter and its optimizer moments always shard
+    identically — updates stay local, XLA all-gathers weights at use sites
+    and reduce-scatters their gradients (the ZeRO-3 schedule), all derived
+    from these input shardings by SPMD partitioning.
+    """
+    ndim = getattr(param, "ndim", 0)
+    shape = getattr(param, "shape", ())
+    if ndim == 0 or int(np.prod(shape)) < min_size:
+        return P(*([None] * ndim))
+    order = sorted(range(ndim), key=lambda d: shape[d], reverse=True)
+    for d in order:
+        if shape[d] % data_size == 0:
+            spec = [None] * ndim
+            spec[d] = "data"
+            return P(*spec)
+    return P(*([None] * ndim))
+
+
+def shard_params(
+    variables,
+    mesh: Mesh,
+    tensor_parallel: bool = False,
+    fsdp: bool = False,
+    fsdp_min_size: int = 2**14,
+):
+    """Place model variables on the mesh: replicated by default; TP shards
+    vocab-dimension params over 'model'; ``fsdp=True`` additionally shards
+    every remaining large leaf over 'data' (ZeRO-3 parameter + optimizer
+    sharding — beyond the reference's replicated-everything TPUStrategy,
+    utils.py:130-156)."""
+    data_size = mesh.shape.get("data", 1) if fsdp else 1
 
     def _path_str(path):
         return "/".join(str(getattr(k, "key", k)) for k in path)
 
     def _place(path, x):
+        spec = None
         if tensor_parallel:
-            spec = param_spec(_path_str(path), x)
-        else:
+            tp = param_spec(_path_str(path), x)
+            if any(e is not None for e in tp):
+                spec = tp
+        if spec is None and fsdp and data_size > 1:
+            spec = fsdp_spec(x, data_size, fsdp_min_size)
+        if spec is None:
             spec = P(*([None] * getattr(x, "ndim", 0)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -52,6 +52,7 @@ parser.add_argument("--bucket-boundaries", type=str, help="comma-separated audio
 parser.add_argument("--auto-resume", action="store_true", help="resume from the newest checkpoint in <output>/models (sets pretrained path + skip-epochs)")
 parser.add_argument("--model-parallel", type=int, help="tensor-parallel degree: shard vocab-dimension parameters over the mesh's 'model' axis (default 1 = pure data parallelism)")
 parser.add_argument("--grad-accum-steps", type=int, help="accumulate gradients over N train steps before each optimizer update (effective batch = N * batch-size; the LR schedule counts optimizer updates)")
+parser.add_argument("--fsdp", action="store_true", help="fully-sharded data parallelism: shard large parameters and optimizer state over the 'data' mesh axis (ZeRO-3)")
 # fmt: on
 
 
@@ -302,10 +303,12 @@ def main(cfg: TrainConfig):
     multi_device = mesh.devices.size > 1
     if multi_device:
         logger.info(f"[+] SPMD over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        if cfg.fsdp:
+            logger.info("[+] FSDP: parameters + optimizer state sharded over 'data'")
         state = state.replace(
-            params=shard_params(state.params, mesh, tensor_parallel=mp > 1),
+            params=shard_params(state.params, mesh, tensor_parallel=mp > 1, fsdp=cfg.fsdp),
             batch_stats=shard_params(state.batch_stats, mesh),
-            opt_state=shard_params(state.opt_state, mesh, tensor_parallel=mp > 1),
+            opt_state=shard_params(state.opt_state, mesh, tensor_parallel=mp > 1, fsdp=cfg.fsdp),
         )
 
     is_las = isinstance(model, LAS)

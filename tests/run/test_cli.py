@@ -248,6 +248,21 @@ def test_train_cli_model_parallel(tmp_path):
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
 
 
+def test_train_cli_fsdp(tmp_path):
+    """--fsdp on the virtual 8-device mesh: large params + optimizer state
+    shard over 'data' (ZeRO-3) — CLI-reachable, not just a dryrun special.
+    The mini model's leaves sit below fsdp_min_size (sharding tiny leaves
+    would be a pessimization), so this pins the wiring end-to-end: flag ->
+    TrainConfig -> shard_params(fsdp=True) -> finished training run."""
+    from speech_recognition_tpu.run.train import main, parser
+    from speech_recognition_tpu.configs import TrainConfig
+
+    args = _train_args(tmp_path, TEST_LAS_CONFIG, extra=["--fsdp"])
+    config = vars(parser.parse_args(args))
+    main(TrainConfig(**config))
+    assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
 def test_train_cli_grad_accum(tmp_path):
     """--grad-accum-steps 2: optax.MultiSteps averages grads over 2 steps
     per optimizer update (effective batch 2x without 2x activation memory)."""

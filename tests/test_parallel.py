@@ -182,5 +182,17 @@ def test_sharded_decode_matches_single_device(eight_devices):
         # batch not divisible beyond 1 -> identity (no mesh)
         _, no_mesh = sharded_decode_fn(plain, batch_size=1)
         assert no_mesh is None
+
+        # raw mode: the decode fn takes an (audio, lengths) tuple batch —
+        # shard_batch must shard both leaves over 'data'
+        set_active_mesh(None)
+        lengths = jnp.full((8,), 24, jnp.int32)
+        raw_fn = lambda batch: searcher.greedy_search(batch[0])[0]
+        raw_ref = np.asarray(raw_fn((audio, lengths)))
+        raw_wrapped, raw_mesh = sharded_decode_fn(raw_fn, batch_size=8)
+        assert raw_mesh is not None
+        np.testing.assert_array_equal(
+            np.asarray(raw_wrapped((np.asarray(audio), np.asarray(lengths)))), raw_ref
+        )
     finally:
         set_active_mesh(None)
