@@ -130,6 +130,17 @@ class DeepSpeechConfig(ModelConfig):
     blank_index: int
     # the index of the pad token
     pad_index: int
+    # beyond parity: number of Switch-routed MoE experts per recurrent layer
+    # (0 = the reference's dense trunk; reference deepspeech2.py:81-119)
+    moe_experts: int = 0
+    # expert FFN hidden width (0 = 4x the trunk width)
+    moe_hidden_dim: int = 0
+    # experts per token (top-k routing)
+    moe_k: int = 1
+    # per-expert buffer headroom over the even-load token share
+    moe_capacity_factor: float = 1.25
+    # weight of the load-balancing auxiliary loss
+    moe_aux_weight: float = 0.01
 
     model_name: str = "DeepSpeech2"
 
@@ -145,7 +156,14 @@ class DeepSpeechConfig(ModelConfig):
             "vocab_size",
             "blank_index",
             "pad_index",
+            "moe_experts",
+            "moe_hidden_dim",
+            "moe_k",
+            "moe_capacity_factor",
+            "moe_aux_weight",
         )
+        if self.moe_experts and self.moe_k not in (1, 2):
+            raise ConfigValidationError("'moe_k' must be 1 or 2")
         if not (
             self.num_conv_layers == len(self.channels) == len(self.kernel_sizes) == len(self.strides)
         ):
@@ -167,4 +185,9 @@ class DeepSpeechConfig(ModelConfig):
             vocab_size=self.vocab_size,
             blank_index=self.blank_index,
             pad_index=self.pad_index,
+            moe_experts=self.moe_experts,
+            moe_hidden_dim=self.moe_hidden_dim,
+            moe_k=self.moe_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_aux_weight=self.moe_aux_weight,
         )

@@ -22,6 +22,7 @@ from ..ops.rnn import BiRNN
 from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
 from .model_proto import ModelProto
+from .moe import MoELayer
 
 
 class Convolution(nn.Module):
@@ -67,13 +68,24 @@ class Convolution(nn.Module):
 
 
 class Recurrent(nn.Module):
-    """BiRNN stack with BatchNorm (reference deepspeech2.py:81-119)."""
+    """BiRNN stack with BatchNorm (reference deepspeech2.py:81-119).
+
+    ``moe_experts > 0`` (beyond parity — the reference trunk is dense)
+    inserts a residual Switch-routed MoE FFN (models/moe.py) after each
+    layer's BatchNorm; padding frames are excluded from routing via the
+    frame mask, so the parity pad semantics hold.
+    """
 
     rnn_type: str
     num_layers: int
     units: int
     dropout: float = 0.0
     recurrent_dropout: float = 0.0
+    moe_experts: int = 0
+    moe_hidden_dim: int = 0
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,6 +108,16 @@ class Recurrent(nn.Module):
                 dtype=self.dtype,
                 name=f"batch_normalization{i}",
             )(output)
+            if self.moe_experts:
+                x = MoELayer(
+                    self.moe_experts,
+                    self.moe_hidden_dim or 4 * 2 * self.units,
+                    k=self.moe_k,
+                    capacity_factor=self.moe_capacity_factor,
+                    aux_weight=self.moe_aux_weight,
+                    dtype=self.dtype,
+                    name=f"moe{i}",
+                )(x, mask)
         return x
 
 
@@ -114,6 +136,13 @@ class DeepSpeech2(ModelProto):
     vocab_size: int
     blank_index: int
     pad_index: int = 0
+    # beyond parity: sparse MoE FFNs in the recurrent trunk (models/moe.py);
+    # 0 = the reference's dense architecture, checkpoint-layout unchanged
+    moe_experts: int = 0
+    moe_hidden_dim: int = 0
+    moe_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -126,6 +155,11 @@ class DeepSpeech2(ModelProto):
             self.hidden_dim,
             self.dropout,
             self.recurrent_dropout,
+            moe_experts=self.moe_experts,
+            moe_hidden_dim=self.moe_hidden_dim,
+            moe_k=self.moe_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_aux_weight=self.moe_aux_weight,
             dtype=self.dtype,
             name="recurrent",
         )

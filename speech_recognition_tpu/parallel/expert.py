@@ -54,7 +54,7 @@ def init_moe_params(
     }
 
 
-def _route(params, x, k: int, capacity: int):
+def _route(params, x, k: int, capacity: int, mask=None):
     """Top-k routing with per-expert capacity.
 
     Returns ``(dispatch [n, E, C], combine [n, E, C], aux_loss)`` for local
@@ -62,6 +62,10 @@ def _route(params, x, k: int, capacity: int):
     convention: the primary expert fills first), ranks within a slot follow
     token order — deterministic, so the expert-parallel path reproduces the
     dense oracle bit-for-bit in expectation terms.
+
+    ``mask [n]`` (optional): False tokens (padding) are never dispatched,
+    consume no capacity, and are excluded from the aux statistics — so a
+    padded batch routes its real tokens exactly like the unpadded one.
     """
     E = params["router"].shape[-1]
     logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
@@ -71,11 +75,14 @@ def _route(params, x, k: int, capacity: int):
         # renormalize the kept gates (GShard top-2 convention)
         gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
 
+    valid = None if mask is None else mask.reshape(-1).astype(jnp.int32)
     counts = jnp.zeros((E,), jnp.int32)
     dispatch = jnp.zeros((x.shape[0], E, capacity), x.dtype)
     combine = jnp.zeros((x.shape[0], E, capacity), jnp.float32)
     for slot in range(k):
         m = jax.nn.one_hot(idx[:, slot], E, dtype=jnp.int32)  # [n, E]
+        if valid is not None:
+            m = m * valid[:, None]
         pos = jnp.cumsum(m, axis=0) - 1 + counts[None, :]  # rank within expert
         counts = counts + jnp.sum(m, axis=0)
         pos_tok = jnp.sum(pos * m, axis=-1)  # [n] position at the chosen expert
@@ -89,8 +96,14 @@ def _route(params, x, k: int, capacity: int):
 
     # Switch load-balancing aux: E * sum_e f_e * P_e over the local group
     # (f_e = fraction of tokens whose slot-0 choice is e, P_e = mean prob)
-    f = jnp.mean(jax.nn.one_hot(idx[:, 0], E, dtype=jnp.float32), axis=0)
-    p = jnp.mean(probs, axis=0)
+    top1 = jax.nn.one_hot(idx[:, 0], E, dtype=jnp.float32)
+    if valid is None:
+        f = jnp.mean(top1, axis=0)
+        p = jnp.mean(probs, axis=0)
+    else:
+        denom = jnp.maximum(jnp.sum(valid).astype(jnp.float32), 1.0)
+        f = jnp.sum(top1 * valid[:, None], axis=0) / denom
+        p = jnp.sum(probs * valid[:, None], axis=0) / denom
     aux = E * jnp.sum(f * p)
     return dispatch, combine, aux
 
@@ -113,19 +126,21 @@ def moe_ffn(
     k: int = 1,
     capacity_factor: float = 1.25,
     capacity: Optional[int] = None,
+    mask=None,
 ):
     """Dense single-device routed FFN (the oracle / 1-device path).
 
     ``x [..., D]`` -> ``(y [..., D], aux_loss)``.  Every token runs through
     its top-k experts, tokens past an expert's capacity are dropped (zero
-    output — add the residual outside).
+    output — add the residual outside).  ``mask [...]`` (x's lead shape)
+    marks padding tokens, which get zero output and consume no capacity.
     """
     lead = x.shape[:-1]
     xt = x.reshape(-1, x.shape[-1])
     E = params["router"].shape[-1]
     if capacity is None:
         capacity = _capacity(xt.shape[0], E, k, capacity_factor)
-    dispatch, combine, aux = _route(params, xt, k, capacity)
+    dispatch, combine, aux = _route(params, xt, k, capacity, mask)
     buf = jnp.einsum("nd,nec->ecd", xt, dispatch)  # [E, C, D]
     y = _expert_ffn(params, buf)  # [E, C, D]
     out = jnp.einsum("ecd,nec->nd", y, combine.astype(y.dtype))
@@ -141,6 +156,7 @@ def expert_parallel_moe(
     k: int = 1,
     capacity_factor: float = 1.25,
     capacity: Optional[int] = None,
+    mask=None,
 ):
     """Expert-parallel routed FFN over ``mesh``.
 
@@ -163,8 +179,9 @@ def expert_parallel_moe(
     dp = mesh.shape[data_axis] if data_axis is not None else 1
     lead = x.shape[:-1]
     n_tokens = int(np.prod(lead))
-    if n_tokens % (dp * ep):
-        raise ValueError(f"{n_tokens} tokens not divisible over {dp * ep} shards")
+    # rows shard over dim 0 only, so THAT dim must divide over the shards
+    if lead[0] % (dp * ep):
+        raise ValueError(f"{lead[0]} tokens/rows not divisible over {dp * ep} shards")
     if capacity is None:
         capacity = _capacity(n_tokens // (dp * ep), E, k, capacity_factor)
 
@@ -176,15 +193,18 @@ def expert_parallel_moe(
             return P(*([None] * leaf.ndim))
         return P(expert_axis, *([None] * (leaf.ndim - 1)))
 
+    if mask is None:
+        mask = jnp.ones(lead, bool)
     in_specs = (
         jax.tree_util.tree_map_with_path(_param_spec, params),
         P(row_axes, *([None] * (x.ndim - 1))),
+        P(row_axes, *([None] * (x.ndim - 2))),
     )
     out_specs = (P(row_axes, *([None] * (x.ndim - 1))), P())
 
-    def body(params_l, x_l):
+    def body(params_l, x_l, mask_l):
         xt = x_l.reshape(-1, x_l.shape[-1])  # [n_local, D]
-        dispatch, combine, aux = _route(params_l, xt, k, capacity)
+        dispatch, combine, aux = _route(params_l, xt, k, capacity, mask_l)
         buf = jnp.einsum("nd,nec->ecd", xt, dispatch)  # [E, C, D]
         buf = buf.reshape(ep, E // ep, capacity, buf.shape[-1])
         if ep > 1:
@@ -207,4 +227,4 @@ def expert_parallel_moe(
 
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-    )(params, x)
+    )(params, x, mask)

@@ -65,14 +65,21 @@ def create_model(model_config, dtype):
 
 
 def build_variables(model, model_config, data_config, rng, audio_len=64, token_len=8):
-    """Initialize model variables with tiny static shapes."""
+    """Initialize model variables with tiny static shapes.
+
+    Keeps only the persistent collections ({'params', 'batch_stats'}) —
+    init also materializes transient sown collections (e.g. the MoE
+    'aux_loss', models/moe.py) that checkpoints never contain, and the
+    restore template must match the checkpoint structure."""
     from ..models import LAS
 
     audio = jnp.zeros((1, audio_len, data_config.frequency_dim, data_config.feature_dim), jnp.float32)
     if isinstance(model, LAS):
         tokens = jnp.zeros((1, token_len), jnp.int32)
-        return model.init({"params": rng}, (audio, tokens))
-    return model.init({"params": rng}, audio)
+        variables = model.init({"params": rng}, (audio, tokens))
+    else:
+        variables = model.init({"params": rng}, audio)
+    return {k: variables[k] for k in ("params", "batch_stats") if k in variables}
 
 
 def pipelined_decode(batches, decode_fn, depth=2):

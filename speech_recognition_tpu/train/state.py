@@ -75,23 +75,25 @@ def make_train_step(
 
         def compute_loss(params):
             variables = {"params": params}
-            mutable = ["batch_stats"] if state.batch_stats else False
+            # 'aux_loss' collects regularizers sown inside the forward (the
+            # MoE load-balancing loss, models/moe.py) — usually empty
+            mutable = (["batch_stats"] if state.batch_stats else []) + ["aux_loss"]
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             if fused:
-                out = model.apply(
+                (hid, updates) = model.apply(
                     variables, model_input, training=True, rngs=rngs, mutable=mutable,
                     method="hidden_states",
                 )
-                hid, updates = out if state.batch_stats else (out, {})
                 loss, outputs = model.loss_from_hidden(params, hid, y_true, loss_fn)
             else:
-                out = model.apply(
+                (outputs, updates) = model.apply(
                     variables, model_input, training=True, rngs=rngs, mutable=mutable,
                     **apply_kwargs,
                 )
-                outputs, updates = out if state.batch_stats else (out, {})
                 loss = loss_fn(y_true, outputs)
+            for leaf in jax.tree_util.tree_leaves(updates.get("aux_loss", {})):
+                loss = loss + jnp.sum(leaf)
             new_batch_stats = updates.get("batch_stats", state.batch_stats)
             return loss, (outputs, new_batch_stats)
 

@@ -16,6 +16,7 @@ from ..const import (
     SP_MODEL_LIBRI,
     TEST_DATA_DIR,
     TEST_DS_CONFIG,
+    TEST_DS_MOE_CONFIG,
     TEST_LAS_CONFIG,
     TEST_LAS_KSPON_CONFIG,
     WAV_DATASET_PATH,
@@ -246,6 +247,36 @@ def test_train_cli_model_parallel(tmp_path):
     config = vars(parser.parse_args(args))
     main(TrainConfig(**config))
     assert len(list((tmp_path / "output" / "models").iterdir())) == 2
+
+
+def test_train_and_evaluate_cli_ds2_moe(tmp_path):
+    """DS2-MoE (beyond parity, models/moe.py): the moe_experts config trains
+    through the CLI (aux loss folded into the objective) and the resulting
+    checkpoint evaluates through the decode CLI."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+
+    args = _train_args(tmp_path, TEST_DS_MOE_CONFIG)
+    train_main(TrainConfig(**vars(train_parser.parse_args(args))))
+    ckpts = sorted((tmp_path / "output" / "models").iterdir())
+    assert len(ckpts) == 2
+
+    out_tsv = str(tmp_path / "eval_moe.tsv")
+    eval_main(eval_parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", TEST_DS_MOE_CONFIG,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", str(ckpts[-1]),
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+    ]))
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3
 
 
 def test_train_cli_fsdp(tmp_path):
