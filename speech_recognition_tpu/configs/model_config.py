@@ -44,6 +44,8 @@ def get_model_config(model_config_path: str):
         return DeepSpeechConfig(**model_config_dict)
     if model_name == "las":
         return LASConfig(**model_config_dict)
+    if model_name == "conformer":
+        return ConformerConfig(**model_config_dict)
     raise ConfigValidationError(f"Model Name: {model_name} is invalid!")
 
 
@@ -99,6 +101,73 @@ class LASConfig(ModelConfig):
             dropout=self.dropout,
             teacher_forcing_rate=self.teacher_forcing_rate,
             pad_id=self.pad_id,
+        )
+
+
+@dataclass
+class ConformerConfig(ModelConfig):
+    """Config for the Conformer-CTC model (beyond reference parity — the
+    reference registry stops at LAS/DS2, model_config.py:20-36).  Shares the
+    DS2 CTC contract: ``blank_index``/``pad_index`` drive the loss and the
+    on-device CTC decoders."""
+
+    # size of vocabulary
+    vocab_size: int
+    # encoder width (model dim of every block; multiple of 128 fills MXU tiles)
+    encoder_dim: int
+    # number of conformer blocks
+    num_layers: int
+    # attention heads (head dim = encoder_dim / heads must be even for RoPE)
+    num_attention_heads: int
+    # depthwise conv kernel width inside each block
+    conv_kernel_size: int
+    # feed-forward expansion factor
+    ffn_expansion: int
+    # dropout rate
+    dropout: float
+    # channels of the stride-2 conv subsampling stem (one entry per 2x layer)
+    subsample_channels: List[int]
+    # the index of the CTC blank token
+    blank_index: int
+    # the index of the pad token
+    pad_index: int
+
+    model_name: str = "Conformer"
+
+    def __post_init__(self):
+        _check_type(
+            self,
+            "vocab_size",
+            "encoder_dim",
+            "num_layers",
+            "num_attention_heads",
+            "conv_kernel_size",
+            "ffn_expansion",
+            "dropout",
+            "blank_index",
+            "pad_index",
+        )
+        if self.encoder_dim % self.num_attention_heads:
+            raise ConfigValidationError("'encoder_dim' must divide by 'num_attention_heads'")
+        if (self.encoder_dim // self.num_attention_heads) % 2:
+            raise ConfigValidationError("attention head dim must be even (RoPE pairs)")
+        if not self.subsample_channels:
+            raise ConfigValidationError("'subsample_channels' must be non-empty")
+
+    def create_model(self):
+        from ..models import Conformer
+
+        return Conformer(
+            vocab_size=self.vocab_size,
+            encoder_dim=self.encoder_dim,
+            num_layers=self.num_layers,
+            num_attention_heads=self.num_attention_heads,
+            conv_kernel_size=self.conv_kernel_size,
+            ffn_expansion=self.ffn_expansion,
+            dropout=self.dropout,
+            subsample_channels=tuple(self.subsample_channels),
+            blank_index=self.blank_index,
+            pad_index=self.pad_index,
         )
 
 

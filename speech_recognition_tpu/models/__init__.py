@@ -1,5 +1,6 @@
+from .conformer import Conformer
 from .deepspeech2 import DeepSpeech2
 from .las import LAS
 from .model_proto import ModelProto
 
-__all__ = ["DeepSpeech2", "LAS", "ModelProto"]
+__all__ = ["Conformer", "DeepSpeech2", "LAS", "ModelProto"]

@@ -37,7 +37,7 @@ def main(args: argparse.Namespace):
 
     from ..configs import DataConfig, get_model_config
     from ..data import SentencePieceTokenizer, get_dataset, get_tfrecord_dataset
-    from ..models import LAS, DeepSpeech2
+    from ..models import LAS
     from ..ops.features import delta_accelerate
     from ..search import DeepSpeechSearcher, LASSearcher
     from ..train import restore_weights
@@ -93,7 +93,9 @@ def main(args: argparse.Namespace):
 
     if isinstance(model, LAS):
         searcher = LASSearcher(model, variables, config.max_token_length, bos_id, eos_id, model_config.pad_id)
-    elif isinstance(model, DeepSpeech2):
+    else:
+        # any CTC-family model (DeepSpeech2, Conformer): the searcher only
+        # needs model.apply -> logits plus the blank index
         searcher = DeepSpeechSearcher(model, variables, model_config.blank_index)
 
     from ..data.dataset import quantized_padded_batch

@@ -342,9 +342,12 @@ def ctc_greedy_decode(log_probs: jnp.ndarray, blank_index: int):
 
 
 class DeepSpeechSearcher:
-    """CTC greedy / beam search for DeepSpeech2 (reference search.py:212-285)."""
+    """CTC greedy / beam search (reference search.py:212-285).
 
-    def __init__(self, model: DeepSpeech2, variables, blank_index: int):
+    Model-agnostic within the CTC family: any model whose ``apply`` maps
+    features to [B, T', V] logits works (DeepSpeech2, Conformer)."""
+
+    def __init__(self, model, variables, blank_index: int):
         self.model = model
         self.variables = variables
         self.blank_index = blank_index

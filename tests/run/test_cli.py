@@ -16,6 +16,7 @@ from ..const import (
     SP_MODEL_LIBRI,
     TEST_DATA_DIR,
     TEST_DS_CONFIG,
+    TEST_CONFORMER_CONFIG,
     TEST_DS_MOE_CONFIG,
     TEST_LAS_CONFIG,
     TEST_LAS_KSPON_CONFIG,
@@ -277,6 +278,38 @@ def test_train_and_evaluate_cli_ds2_moe(tmp_path):
         lines = f.read().strip().split("\n")
     assert lines[0].startswith("Prediction\tTarget")
     assert len(lines) == 3
+
+
+def test_train_and_evaluate_cli_conformer(tmp_path):
+    """Conformer-CTC (beyond parity, models/conformer.py) end-to-end: train
+    through the CLI, then greedy- and beam-decode the checkpoint through the
+    evaluate CLI (DeepSpeechSearcher serves the whole CTC family)."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+
+    args = _train_args(tmp_path, TEST_CONFORMER_CONFIG)
+    train_main(TrainConfig(**vars(train_parser.parse_args(args))))
+    ckpts = sorted((tmp_path / "output" / "models").iterdir())
+    assert len(ckpts) == 2
+
+    for name, extra in [("greedy", []), ("beam", ["--beam-size", "2"])]:
+        out_tsv = str(tmp_path / f"eval_conformer_{name}.tsv")
+        eval_main(eval_parser.parse_args([
+            "--data-config", MINI_DATA_CONFIG,
+            "--model-config", TEST_CONFORMER_CONFIG,
+            "--dataset-paths", WAV_DATASET_PATH,
+            "--model-path", str(ckpts[-1]),
+            "--sp-model-path", SP_MODEL_LIBRI,
+            "--output-path", out_tsv,
+            "--batch-size", "2",
+            "--device", "CPU",
+            *extra,
+        ]))
+        with open(out_tsv) as f:
+            lines = f.read().strip().split("\n")
+        assert lines[0].startswith("Prediction\tTarget")
+        assert len(lines) == 3
 
 
 def test_train_cli_fsdp(tmp_path):
