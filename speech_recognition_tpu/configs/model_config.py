@@ -131,6 +131,8 @@ class ConformerConfig(ModelConfig):
     blank_index: int
     # the index of the pad token
     pad_index: int
+    # rematerialize block activations in the backward pass (memory for FLOPs)
+    remat: bool = False
 
     model_name: str = "Conformer"
 
@@ -146,6 +148,7 @@ class ConformerConfig(ModelConfig):
             "dropout",
             "blank_index",
             "pad_index",
+            "remat",
         )
         if self.encoder_dim % self.num_attention_heads:
             raise ConfigValidationError("'encoder_dim' must divide by 'num_attention_heads'")
@@ -168,6 +171,7 @@ class ConformerConfig(ModelConfig):
             subsample_channels=tuple(self.subsample_channels),
             blank_index=self.blank_index,
             pad_index=self.pad_index,
+            remat=self.remat,
         )
 
 

@@ -225,14 +225,21 @@ class Conformer(ModelProto):
     subsample_channels: Tuple[int, ...]
     blank_index: int
     pad_index: int = 0
+    # rematerialize each block's activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(num_layers)
+    # less activation HBM — the standard lever for scaling batch/depth
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.subsampler = ConvSubsampler(
             self.subsample_channels, self.encoder_dim, self.dropout, dtype=self.dtype, name="subsampler"
         )
+        # identical params/structure either way: nn.remat is transparent to
+        # the variable tree, so remat toggles freely across a checkpoint
+        block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if self.remat else ConformerBlock
         self.blocks = [
-            ConformerBlock(
+            block_cls(
                 self.encoder_dim,
                 self.num_attention_heads,
                 self.conv_kernel_size,

@@ -154,6 +154,32 @@ def test_conformer_grads_finite():
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_conformer_remat_transparent():
+    """remat=True must leave the variable tree, outputs, and gradients
+    unchanged — it only changes what the backward pass rematerializes."""
+    rng = jax.random.PRNGKey(9)
+    plain = _mini_model(dropout=0.0)
+    remat = _mini_model(dropout=0.0, remat=True)
+    audio = jax.random.uniform(rng, (2, 50, 20, 3), minval=0.1)
+    tokens = jnp.array([[1, 5, 9, 0], [2, 7, 0, 0]], jnp.int32)
+    variables = plain.init({"params": rng}, audio)
+    assert jax.tree_util.tree_structure(remat.init({"params": rng}, audio)) == (
+        jax.tree_util.tree_structure(variables)
+    )
+
+    out = plain.apply(variables, audio)
+    out_r = remat.apply(variables, audio)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+
+    def loss(model, params):
+        return model.get_loss_fn()(tokens, model.apply({"params": params}, audio))
+
+    g = jax.grad(lambda p: loss(plain, p))(variables["params"])
+    g_r = jax.grad(lambda p: loss(remat, p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_conformer_config_registry(tmp_path):
     from speech_recognition_tpu.configs import get_model_config
     from speech_recognition_tpu.configs.data_config import ConfigValidationError

@@ -10,7 +10,10 @@ Run: python tools/conformer_step_bench.py  (real TPU; bound >= 3000 s)
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
