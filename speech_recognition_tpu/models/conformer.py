@@ -33,16 +33,26 @@ arithmetic.  Inside each block, attention masks keys and the depthwise conv
 sees zeros at padded frames, so no real frame ever reads padded content.
 """
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..measure import ctc_loss, ctc_loss_from_hidden
+from ..ops.pallas.attention_kernel import NEG_INF, fused_mhsa, fused_mhsa_supported
 from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
 from .model_proto import ModelProto
+
+
+# Encoder-internal time-axis tile alignment (see Conformer.hidden_states):
+# pad T' up to a multiple of TIME_PAD_MULTIPLE once it reaches TIME_PAD_GATE.
+# Module-level so tests can monkeypatch the gate down to mini shapes.
+TIME_PAD_MULTIPLE = 128
+TIME_PAD_GATE = 128
 
 
 def rope_rotate(x: jnp.ndarray) -> jnp.ndarray:
@@ -133,12 +143,33 @@ class MHSA(nn.Module):
         q = rope_rotate(qkv[:, :, 0])
         k = rope_rotate(qkv[:, :, 1])
         v = qkv[:, :, 2]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(d))
-        scores = jnp.where(mask[:, None, None, :], scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout, deterministic=not training)(probs)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+        p_drop = self.dropout if training else 0.0
+        if (
+            os.environ.get("SRT_FUSED_MHSA", "1") != "0"
+            and fused_mhsa_supported(B, T, D, H, q.dtype)
+        ):
+            # fused Pallas attention: scores/softmax/prob-dropout stay in
+            # VMEM (ops/pallas/attention_kernel.py).  Heads are packed on
+            # the lane axis so these reshapes are free.
+            bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+            if p_drop > 0.0:
+                seeds = jax.random.randint(
+                    self.make_rng("dropout"), (B,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32,
+                )
+            else:
+                seeds = jnp.zeros((B,), jnp.int32)
+            ctx = fused_mhsa(
+                q.reshape(B, T, D), k.reshape(B, T, D), v.reshape(B, T, D),
+                bias, seeds, H, float(1.0 / np.sqrt(d)), p_drop,
+            )
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(d))
+            scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.dropout, deterministic=not training)(probs)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
         out = nn.Dense(D, dtype=self.dtype, name="out")(ctx)
         return nn.Dropout(self.dropout, deterministic=not training)(out)
 
@@ -262,8 +293,25 @@ class Conformer(ModelProto):
         """Forward up to (not including) the vocab projection: [B, T', D]."""
         audio_input, frame_lengths = split_audio_lengths(audio_input)
         x, mask = self.subsampler(audio_input, frame_lengths, training)
+        # Tile-align the encoder's time axis: two VALID stride-2 convs turn
+        # T=1024 into T'=255, one short of the 256 the MXU/VPU lane tiling
+        # wants, so every attention matmul and [T', T'] intermediate carries
+        # a ragged last tile.  Pad time up to a multiple of 128 for the
+        # blocks only and slice back before the CTC head: padded frames are
+        # mask-False, so attention key-masks them, the conv module zeroes
+        # them before the depthwise conv, and FFN/LN are per-frame — valid
+        # frames are bit-identical either way (pinned in
+        # tests/models/test_conformer.py).  Small T' (tests, short utts) is
+        # left alone: the pad only pays off once tiles are actually full.
+        T1 = x.shape[1]
+        pad = (-T1) % TIME_PAD_MULTIPLE if T1 >= TIME_PAD_GATE else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
         for block in self.blocks:
             x = block(x, mask, training)
+        if pad:
+            x, mask = x[:, :T1], mask[:, :T1]
         # zero padded frames (DS2 parity semantics, deepspeech2.py:174-178):
         # CTC consumes the full padded T with blank-friendly masked rows
         return x * mask[:, :, None].astype(self.dtype)

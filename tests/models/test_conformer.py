@@ -108,6 +108,31 @@ def test_conformer_pad_invariance():
     )
 
 
+def test_conformer_internal_time_pad_equivalent(monkeypatch):
+    """The encoder-internal tile-alignment pad (hidden_states pads T' to a
+    multiple of TIME_PAD_MULTIPLE and slices back) must not change any
+    valid-frame output: pad frames are mask-False so attention key-masks
+    them and the conv module zeroes them before the depthwise conv."""
+    import speech_recognition_tpu.models.conformer as conf_mod
+
+    rng = jax.random.PRNGKey(11)
+    model = _mini_model(dropout=0.0)
+    audio = jax.random.uniform(rng, (2, 47, 12, 1), minval=0.1)
+    audio = audio.at[1, 33:].set(0.0)  # ragged lengths through the pad path
+    variables = model.init({"params": rng}, audio)
+
+    monkeypatch.setattr(conf_mod, "TIME_PAD_GATE", 1)
+    monkeypatch.setattr(conf_mod, "TIME_PAD_MULTIPLE", 16)
+    out_padded = model.apply(variables, audio)  # T'=10 -> padded to 16
+
+    monkeypatch.setattr(conf_mod, "TIME_PAD_MULTIPLE", 1)  # pad = 0
+    out_plain = model.apply(variables, audio)
+
+    np.testing.assert_allclose(
+        np.asarray(out_padded), np.asarray(out_plain), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_conformer_explicit_lengths_match_detection():
     rng = jax.random.PRNGKey(6)
     model = _mini_model(dropout=0.0)

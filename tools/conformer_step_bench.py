@@ -27,9 +27,11 @@ B = int(os.environ.get("CONF_BATCH", 128))
 T, V = 1024, 16000
 model = Conformer(
     vocab_size=V, encoder_dim=256, num_layers=16, num_attention_heads=4,
-    conv_kernel_size=32, ffn_expansion=4, dropout=0.1,
+    conv_kernel_size=32, ffn_expansion=4,
+    dropout=float(os.environ.get("CONF_DROPOUT", 0.1)),
     subsample_channels=(128, 128), blank_index=14, dtype=jnp.bfloat16,
 )
+print(f"dropout={model.dropout}", flush=True)
 rng = jax.random.PRNGKey(0)
 audio = jax.random.normal(rng, (B, T, 80, 1), jnp.bfloat16)
 tokens = jnp.concatenate(

@@ -79,3 +79,32 @@ for n, d in agg.items():
 print("--- grouped")
 for n, d in sorted(groups.items(), key=lambda kv: -kv[1])[:16]:
     print(f"  {d/3/1e3:7.3f} ms  {n}")
+
+# --- attribute leaf op time to (phase, normalized module path) and source line.
+# Only events carrying a tf_op arg are leaf HLO ops (parent trace regions like
+# jit_train_step have no args), so this view has no hierarchy double-count.
+import re
+
+by_mod = collections.defaultdict(float)
+by_src = collections.defaultdict(float)
+for e in events:
+    if e.get("ph") != "X" or e.get("pid") not in tpu:
+        continue
+    a = e.get("args", {})
+    t = a.get("tf_op", "")
+    if not t:
+        continue
+    d = e.get("dur", 0.0)
+    by_src[a.get("source", "?").split("/")[-1]] += d
+    phase = "bwd" if "transpose(jvp" in t else "fwd"
+    m = re.search(r"block\d+/(.*)", t)
+    path = m.group(1) if m else t.rsplit("/", 2)[-2] + "/" + t.rsplit("/", 1)[-1]
+    path = re.sub(r"ff[12]", "ff", path).rstrip(":")
+    by_mod[(phase, path)] += d
+print("--- by module path (leaf ops only)")
+for (ph, p), d in sorted(by_mod.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"  {d/3/1e3:7.3f} ms  {ph}  {p[:80]}")
+print(f"  leaf total: {sum(by_mod.values())/3/1e3:.3f} ms/step")
+print("--- by source line (leaf ops only)")
+for s, d in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
+    print(f"  {d/3/1e3:7.3f} ms  {s}")
