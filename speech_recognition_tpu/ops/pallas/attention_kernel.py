@@ -11,8 +11,8 @@ These kernels keep one example's entire attention resident in VMEM
 (T<=512, so scores for all H heads are a few hundred KB):
 
 forward  (grid over B): per head h, scores = (q_h @ k_h^T) * scale + bias,
-    f32 softmax, optional in-kernel dropout from the TPU hardware PRNG
-    (``pltpu.prng_random_bits``; seeded per (example, head) so the backward
+    f32 softmax, optional in-kernel dropout from a counter-based position
+    hash (see _keep_mask; seeded per (example, head) so the backward
     regenerates the identical mask), then ctx_h = probs @ v_h — all in
     VMEM; only q/k/v stream in and ctx streams out.
 backward (grid over B): recomputes scores/probs per head (flash-attention
@@ -28,7 +28,7 @@ Math identical to models/conformer.py MHSA (scores/sqrt(d), key-mask bias,
 f32 softmax, bf16 probs @ v) — equivalence of outputs and all gradients vs
 the XLA path is pinned in tests/test_pallas_attention.py (interpret mode).
 Dropout deviation, by design: the plain path draws a threefry mask via
-nn.Dropout while the kernel draws from the TPU hardware PRNG — identical
+nn.Dropout while the kernel draws from the counter-based hash — identical
 Bernoulli(1-p)/(1-p) semantics, different streams (same situation as the
 fused-frontend SpecAugment masks).  Dropout is applied to the f32 probs
 before the bf16 cast (the plain path casts first); at p=0 the paths agree
@@ -77,12 +77,30 @@ def _softmax_rows(s):
 
 
 def _keep_mask(seed, h, shape, p_drop):
-    """Bernoulli(1-p) keep mask from the TPU hardware PRNG, deterministic in
-    (seed, head) so forward and backward draw identically."""
-    pltpu.prng_seed(seed, h)
-    bits = pltpu.prng_random_bits(shape)
-    # top 24 bits -> uniform [0, 1) at f32 precision
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Bernoulli(1-p) keep mask, a pure function of (seed, head, position).
+
+    Counter-based (murmur3-fmix32-style avalanche of the element's (row,
+    col) iota coordinates): the value at each position is layout- and
+    kernel-independent, so the backward kernel regenerates the forward's
+    mask *by construction*.  The TPU hardware PRNG (pltpu.prng_random_bits)
+    explicitly does NOT give that guarantee — measured on-chip: seeded
+    identically, the fwd and bwd kernels received differently-placed bit
+    streams (their [T, T] tilings differ), which broke the FD-vs-VJP check
+    in tools/attention_onchip_check.py.  All ops are plain int32 (wrapping)
+    arithmetic, so the same masks fall out under CPU interpret mode too.
+    Shifts are ARITHMETIC on int32 — every shift is &-masked back to the
+    intended logical bits."""
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c = lambda v: jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)  # two's complement
+    x = seed * c(0x9E3779B1) + h * c(0x85EBCA6B) + i * c(0xC2B2AE35) + j * c(0x27D4EB2F)
+    x = x ^ ((x >> 16) & 0xFFFF)
+    x = x * c(0x85EBCA6B)
+    x = x ^ ((x >> 13) & 0x7FFFF)
+    x = x * c(0xC2B2AE35)
+    x = x ^ ((x >> 16) & 0xFFFF)
+    # low 24 bits -> uniform [0, 1) at f32 precision
+    u = (x & 0x00FFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
     return u >= p_drop
 
 
@@ -90,6 +108,7 @@ def _fwd_kernel(num_heads, scale, p_drop, *refs):
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref = refs
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # [T, D]
     bias = bias_ref[0][0:1, :]  # [1, T] f32, broadcasts over query rows
+    seed = seed_ref[pl.program_id(0)]
     T, D = q.shape
     d = D // num_heads
     for h in range(num_heads):
@@ -101,7 +120,7 @@ def _fwd_kernel(num_heads, scale, p_drop, *refs):
         ) * scale + bias
         p = _softmax_rows(s)
         if p_drop > 0.0:
-            keep = _keep_mask(seed_ref[0], h, (T, T), p_drop)
+            keep = _keep_mask(seed, h, (T, T), p_drop)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
         o_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
             p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
@@ -113,6 +132,7 @@ def _bwd_kernel(num_heads, scale, p_drop, *refs):
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref = refs
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     bias = bias_ref[0][0:1, :]
+    seed = seed_ref[pl.program_id(0)]
     T, D = q.shape
     d = D // num_heads
     for h in range(num_heads):
@@ -125,7 +145,7 @@ def _bwd_kernel(num_heads, scale, p_drop, *refs):
         ) * scale + bias
         p = _softmax_rows(s)  # pre-dropout probs, f32
         if p_drop > 0.0:
-            keep = _keep_mask(seed_ref[0], h, (T, T), p_drop)
+            keep = _keep_mask(seed, h, (T, T), p_drop)
             inv = 1.0 / (1.0 - p_drop)
             pd = jnp.where(keep, p * inv, 0.0)
         else:
@@ -151,7 +171,9 @@ def _bwd_kernel(num_heads, scale, p_drop, *refs):
 
 def _specs(T, D):
     blk = lambda *bs: pl.BlockSpec((1,) + bs, lambda b: (b,) + (0,) * len(bs), memory_space=pltpu.VMEM)
-    seed = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+    # the whole (local) seeds vector rides along in SMEM; rank-1 blocks of
+    # size 1 are not lowerable, so each grid step indexes by program_id
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     return seed, blk(T, D), blk(8, T)
 
 

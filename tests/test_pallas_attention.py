@@ -70,55 +70,82 @@ def test_fwd_matches_plain_bf16():
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-2 * (np.abs(b).max() + 1e-3))
 
 
-# ---- Dropout mechanics need the real TPU hardware PRNG: the interpret-mode
-# stub for prng_random_bits returns all zeros (jax .../mosaic/interpret/
-# interpret_pallas_call.py "TODO: Implement this properly"), which drops
-# every probability.  The tests below run when a TPU backend is present and
-# are also driven by tools/attention_ab.py; the interpret-stub behavior is
-# documented by test_dropout_interpret_stub_drops_everything.
-
-tpu_only = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="needs the TPU hardware PRNG"
-)
+# ---- Dropout mechanics.  The keep mask is a counter-based position hash
+# (attention_kernel._keep_mask) — plain int32 ops, so the same masks fall
+# out under CPU interpret mode as on hardware.  (The TPU hardware PRNG was
+# measured to place its bit stream differently in the fwd and bwd kernels,
+# which is why the hash exists — see the kernel docstring.)
 
 
-def test_dropout_interpret_stub_drops_everything():
-    """Pin the interpret-mode degenerate so a future jax that implements the
-    stub flips this test and we can move the dropout suite to CPU."""
-    q, k, v, mask, bias = _operands()
-    with pltpu.force_tpu_interpret_mode():
-        out = fused_mhsa(q, k, v, bias, jnp.asarray([3, 17], jnp.int32), H, SCALE, 0.3)
-    assert float(jnp.abs(out).max()) == 0.0
-
-
-@tpu_only
 def test_dropout_deterministic_in_seeds_and_seed_sensitive():
     q, k, v, mask, bias = _operands()
     s1 = jnp.asarray([3, 17], jnp.int32)
     s2 = jnp.asarray([3, 99], jnp.int32)
-    o1a = fused_mhsa(q, k, v, bias, s1, H, SCALE, 0.3)
-    o1b = fused_mhsa(q, k, v, bias, s1, H, SCALE, 0.3)
-    o2 = fused_mhsa(q, k, v, bias, s2, H, SCALE, 0.3)
+    with pltpu.force_tpu_interpret_mode():
+        o1a = fused_mhsa(q, k, v, bias, s1, H, SCALE, 0.3)
+        o1b = fused_mhsa(q, k, v, bias, s1, H, SCALE, 0.3)
+        o2 = fused_mhsa(q, k, v, bias, s2, H, SCALE, 0.3)
+        o_nodrop = fused_mhsa(q, k, v, bias, s1, H, SCALE, 0.0)
     np.testing.assert_array_equal(np.asarray(o1a), np.asarray(o1b))
     # example 0 shares its seed, example 1 differs
     assert np.array_equal(np.asarray(o1a[0]), np.asarray(o2[0]))
     assert not np.array_equal(np.asarray(o1a[1]), np.asarray(o2[1]))
+    assert not np.array_equal(np.asarray(o1a), np.asarray(o_nodrop))
 
 
-@tpu_only
 def test_dropout_preserves_expectation():
     """With v = ones, each context row is the sum of the dropped probs —
     Bernoulli(1-p)/(1-p) keeps E[row] = 1."""
     q, k, _, mask, bias = _operands()
     v = jnp.ones((B, T, D), jnp.float32)
-    out = fused_mhsa(q, k, v, bias, jnp.asarray([5, 6], jnp.int32), H, SCALE, 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mhsa(q, k, v, bias, jnp.asarray([5, 6], jnp.int32), H, SCALE, 0.5)
     rows = np.asarray(out[0])  # example 0: all keys valid
     assert abs(rows.mean() - 1.0) < 0.03
     # and some probability mass was actually dropped
     assert rows.std() > 0.01
 
 
-@tpu_only
+def test_dropout_matches_mask_replicated_oracle():
+    """The keep mask is a pure position hash, so the exact sampled function
+    can be rebuilt in plain jnp — fused values and all grads must match it.
+    (This is the on-chip-safe form of the FD check below: FD is invalid on
+    real TPUs because DEFAULT-precision f32 matmuls run as single-pass bf16
+    and 1e-3 perturbations sit below MXU resolution.)"""
+    from speech_recognition_tpu.ops.pallas.attention_kernel import _keep_mask
+
+    q, k, v, mask, bias = _operands()
+    seeds = jnp.asarray([21, 22], jnp.int32)
+    p_drop = 0.25
+    keep = jnp.stack([
+        jnp.stack([_keep_mask(seeds[b], h, (T, T), p_drop) for h in range(H)])
+        for b in range(B)
+    ])  # [B, H, T, T]
+
+    def oracle_drop(q, k, v):
+        qh, kh, vh = (a.reshape(B, T, H, d) for a in (q, k, v))
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+        s = s / jnp.sqrt(jnp.float32(d))
+        s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+        p = jax.nn.softmax(s, -1)
+        pd = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", pd, vh).reshape(B, T, D)
+
+    co = jnp.asarray(np.random.RandomState(4).randn(B, T, D).astype(np.float32))
+    f = lambda q, k, v: jnp.sum(fused_mhsa(q, k, v, bias, seeds, H, SCALE, p_drop) * co)
+    g = lambda q, k, v: jnp.sum(oracle_drop(q, k, v) * co)
+    with pltpu.force_tpu_interpret_mode():
+        l_f, g_f = jax.value_and_grad(f, (0, 1, 2))(q, k, v)
+    l_r, g_r = jax.value_and_grad(g, (0, 1, 2))(q, k, v)
+    assert abs(float(l_f) - float(l_r)) < 1e-3 * (abs(float(l_r)) + 1.0)
+    for a, b, name in zip(g_f, g_r, "qkv"):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=1e-4 * (np.abs(b).max() + 1e-3), err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.skipif(jax.default_backend() == "tpu", reason="FD invalid on MXU bf16")
 def test_dropout_backward_differentiates_the_sampled_function():
     """Finite differences through the fixed-seed sampled function must match
     the custom VJP — this fails if the backward kernel regenerates a
@@ -133,21 +160,23 @@ def test_dropout_backward_differentiates_the_sampled_function():
     rng = np.random.RandomState(3)
     dirs = [jnp.asarray(rng.randn(B, T, D).astype(np.float32)) for _ in range(3)]
     eps = 1e-3
-    grads = jax.grad(f, (0, 1, 2))(q, k, v)
-    for i, (g, u) in enumerate(zip(grads, dirs)):
-        args_p = [q, k, v]
-        args_m = [q, k, v]
-        args_p[i] = args_p[i] + eps * u
-        args_m[i] = args_m[i] - eps * u
-        fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
-        vjp = float(jnp.sum(g * u))
-        assert abs(fd - vjp) < 2e-2 * (abs(fd) + 1.0), f"arg {i}: fd={fd} vjp={vjp}"
+    with pltpu.force_tpu_interpret_mode():
+        grads = jax.grad(f, (0, 1, 2))(q, k, v)
+        for i, (g, u) in enumerate(zip(grads, dirs)):
+            args_p = [q, k, v]
+            args_m = [q, k, v]
+            args_p[i] = args_p[i] + eps * u
+            args_m[i] = args_m[i] - eps * u
+            fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+            vjp = float(jnp.sum(g * u))
+            assert abs(fd - vjp) < 2e-2 * (abs(fd) + 1.0), f"arg {i}: fd={fd} vjp={vjp}"
 
 
 def test_supported_gate(monkeypatch):
     from speech_recognition_tpu.parallel import get_device_mesh, set_active_mesh
 
     monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    set_active_mesh(None)  # earlier tests may leave a mesh registered
     if len(jax.devices()) > 1:
         # multi-device: the gate requires a registered mesh whose data axis
         # divides the batch (same contract as the CE/CTC/decoder gates)

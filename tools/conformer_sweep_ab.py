@@ -85,6 +85,15 @@ results = {}
 fresh, step = make(0.1)
 results["base"] = measure("base", step, fresh, rng)
 
+# isolate the fused MHSA kernel (base keeps pad ON so the plain XLA
+# attention sees the same tile-aligned T'=256)
+os.environ["SRT_FUSED_MHSA"] = "0"
+fresh_nm, step_nm = make(0.1)
+results["mhsa_off"] = measure("mhsa_off", step_nm, fresh_nm, rng)
+del os.environ["SRT_FUSED_MHSA"]
+
+# NOTE: pad_off leaves T'=255, which also fails the fused-MHSA gate —
+# this variant is pad_off AND mhsa_off (the pre-round-11 program)
 assert conf_mod.TIME_PAD_GATE == 128
 conf_mod.TIME_PAD_GATE = 10 ** 9
 fresh_np, step_np = make(0.1)
@@ -103,6 +112,7 @@ except Exception as e:  # rbg unavailable on some backends
     results["rbg"] = float("nan")
 
 print("RESULT " + "  ".join(f"{k}={v:.1f}" for k, v in results.items())
-      + f"  pad_win={results['pad_off'] - results['base']:.1f} ms"
+      + f"  mhsa_win={results['mhsa_off'] - results['base']:.1f} ms"
+      + f"  pad+mhsa_win={results['pad_off'] - results['base']:.1f} ms"
       + f"  dropout_cost={results['base'] - results['nodrop']:.1f} ms"
       + f"  threefry_cost={results['base'] - results['rbg']:.1f} ms", flush=True)
