@@ -42,6 +42,7 @@ import numpy as np
 import flax.linen as nn
 
 from ..measure import ctc_loss, ctc_loss_from_hidden
+from ..ops.dropout import FastDropout
 from ..ops.pallas.attention_kernel import NEG_INF, fused_mhsa, fused_mhsa_supported
 from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
@@ -53,6 +54,22 @@ from .model_proto import ModelProto
 # Module-level so tests can monkeypatch the gate down to mini shapes.
 TIME_PAD_MULTIPLE = 128
 TIME_PAD_GATE = 128
+
+
+def _dropout(rate: float):
+    """Dropout layer factory: counter-based hash dropout by default.
+
+    Threefry dropout measured 122.6 ms of the 210 ms Conformer train step at
+    bench shapes (PERF.md round-11: 6 sites/block x 16 blocks on up-to-
+    [B, T, 4D] tensors); ``FastDropout`` (ops/dropout.py) replaces the bit
+    generation with a fused position-hash and regenerates masks in the
+    backward.  SRT_FAST_DROPOUT=0 reverts to flax nn.Dropout (bit-for-bit
+    the old training randomness).  Neither carries params, so the flag never
+    touches checkpoint structure.
+    """
+    if os.environ.get("SRT_FAST_DROPOUT", "1") != "0":
+        return FastDropout(rate)
+    return nn.Dropout(rate)
 
 
 def rope_rotate(x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +117,7 @@ class ConvSubsampler(nn.Module):
         B, T2 = x.shape[0], x.shape[1]
         x = x.reshape(B, T2, x.shape[2] * x.shape[3])
         x = nn.Dense(self.encoder_dim, dtype=self.dtype, name="proj")(x)
-        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        x = _dropout(self.dropout)(x, deterministic=not training)
         lengths = jnp.minimum(lengths, T2)
         mask = jnp.arange(T2)[None, :] < lengths[:, None]
         return x, mask
@@ -119,9 +136,9 @@ class FeedForward(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
         x = nn.Dense(self.dim * self.expansion, dtype=self.dtype, name="dense1")(x)
         x = nn.swish(x)
-        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        x = _dropout(self.dropout)(x, deterministic=not training)
         x = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(x)
-        return nn.Dropout(self.dropout, deterministic=not training)(x)
+        return _dropout(self.dropout)(x, deterministic=not training)
 
 
 class MHSA(nn.Module):
@@ -168,10 +185,10 @@ class MHSA(nn.Module):
             scores = scores / jnp.sqrt(jnp.float32(d))
             scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            probs = nn.Dropout(self.dropout, deterministic=not training)(probs)
+            probs = _dropout(self.dropout)(probs, deterministic=not training)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
         out = nn.Dense(D, dtype=self.dtype, name="out")(ctx)
-        return nn.Dropout(self.dropout, deterministic=not training)(out)
+        return _dropout(self.dropout)(out, deterministic=not training)
 
 
 class ConvModule(nn.Module):
@@ -213,7 +230,7 @@ class ConvModule(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.swish(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pointwise2")(x)
-        return nn.Dropout(self.dropout, deterministic=not training)(x)
+        return _dropout(self.dropout)(x, deterministic=not training)
 
 
 class ConformerBlock(nn.Module):
