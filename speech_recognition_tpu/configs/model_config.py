@@ -133,6 +133,9 @@ class ConformerConfig(ModelConfig):
     pad_index: int
     # rematerialize block activations in the backward pass (memory for FLOPs)
     remat: bool = False
+    # fold the identical blocks into one lax.scan (compile time / program
+    # size ~num_layers-x smaller; param tree gains a leading layer axis)
+    scan_layers: bool = False
 
     model_name: str = "Conformer"
 
@@ -149,6 +152,7 @@ class ConformerConfig(ModelConfig):
             "blank_index",
             "pad_index",
             "remat",
+            "scan_layers",
         )
         if self.encoder_dim % self.num_attention_heads:
             raise ConfigValidationError("'encoder_dim' must divide by 'num_attention_heads'")
@@ -172,6 +176,7 @@ class ConformerConfig(ModelConfig):
             blank_index=self.blank_index,
             pad_index=self.pad_index,
             remat=self.remat,
+            scan_layers=self.scan_layers,
         )
 
 

@@ -34,6 +34,7 @@ sees zeros at padded frames, so no real frame ever reads padded content.
 """
 
 import os
+import re
 from typing import Tuple
 
 import jax
@@ -253,6 +254,60 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
 
 
+class _BlockScanStep(nn.Module):
+    """One lax.scan step over a ConformerBlock (``scan_layers=True`` path).
+
+    ``nn.scan`` needs a ``carry, *broadcast -> (carry, out)`` call shape;
+    this wraps the plain block (identical math and submodule names, so the
+    stacked params are exactly the unrolled params stacked — see
+    ``stack_block_params``).
+    """
+
+    dim: int
+    num_heads: int
+    conv_kernel_size: int
+    ffn_expansion: int
+    dropout: float
+    remat: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, mask, training: bool = False):
+        block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if self.remat else ConformerBlock
+        x = block_cls(
+            self.dim,
+            self.num_heads,
+            self.conv_kernel_size,
+            self.ffn_expansion,
+            self.dropout,
+            dtype=self.dtype,
+            name="block",
+        )(x, mask, training)
+        return x, None
+
+
+def stack_block_params(params, num_layers: int):
+    """Unrolled Conformer params (``block0..block{L-1}``) -> the
+    ``scan_layers=True`` layout: one ``blocks/block`` subtree whose every
+    leaf gains a leading [L] layer axis.  Non-block entries (subsampler,
+    fully_connected) pass through.  Inverse: ``unstack_block_params``."""
+    blocks = [params[f"block{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *blocks)
+    out = {k: v for k, v in params.items() if not re.fullmatch(r"block\d+", k)}
+    out["blocks"] = {"block": stacked}
+    return out
+
+
+def unstack_block_params(params, num_layers: int):
+    """Inverse of ``stack_block_params``: split the stacked [L, ...] leaves
+    back into per-layer ``block{i}`` subtrees (unrolled layout)."""
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = params["blocks"]["block"]
+    for i in range(num_layers):
+        out[f"block{i}"] = jax.tree_util.tree_map(lambda leaf: leaf[i], stacked)
+    return out
+
+
 class Conformer(ModelProto):
     """Conformer encoder + CTC head.
 
@@ -277,27 +332,55 @@ class Conformer(ModelProto):
     # (jax.checkpoint): trades ~1 extra forward of FLOPs for O(num_layers)
     # less activation HBM — the standard lever for scaling batch/depth
     remat: bool = False
+    # fold the (architecturally identical) blocks into ONE traced block under
+    # lax.scan with stacked [L, ...] params: the HLO no longer repeats the
+    # block subgraph num_layers times, so compile time drops ~num_layers-x.
+    # Changes the param tree (block0..N -> blocks/block, leading layer axis);
+    # stack_block_params / unstack_block_params convert between the layouts.
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.subsampler = ConvSubsampler(
             self.subsample_channels, self.encoder_dim, self.dropout, dtype=self.dtype, name="subsampler"
         )
-        # identical params/structure either way: nn.remat is transparent to
-        # the variable tree, so remat toggles freely across a checkpoint
-        block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if self.remat else ConformerBlock
-        self.blocks = [
-            block_cls(
+        if self.scan_layers:
+            # scan-of-(optionally remat-ed) block: variable_axes stacks each
+            # layer's params on axis 0; dropout rngs split per layer so sites
+            # stay independent across depth (distribution unchanged; the bit
+            # stream differs from the unrolled layout's rng fold path)
+            self.blocks = nn.scan(
+                _BlockScanStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(
                 self.encoder_dim,
                 self.num_attention_heads,
                 self.conv_kernel_size,
                 self.ffn_expansion,
                 self.dropout,
+                self.remat,
                 dtype=self.dtype,
-                name=f"block{i}",
+                name="blocks",
             )
-            for i in range(self.num_layers)
-        ]
+        else:
+            # identical params/structure either way: nn.remat is transparent
+            # to the variable tree, so remat toggles freely across a checkpoint
+            block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if self.remat else ConformerBlock
+            self.blocks = [
+                block_cls(
+                    self.encoder_dim,
+                    self.num_attention_heads,
+                    self.conv_kernel_size,
+                    self.ffn_expansion,
+                    self.dropout,
+                    dtype=self.dtype,
+                    name=f"block{i}",
+                )
+                for i in range(self.num_layers)
+            ]
         self.fully_connected = nn.Dense(self.vocab_size, dtype=self.dtype, name="fully_connected")
 
     fused_loss_supported = True
@@ -325,8 +408,11 @@ class Conformer(ModelProto):
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
-        for block in self.blocks:
-            x = block(x, mask, training)
+        if self.scan_layers:
+            x, _ = self.blocks(x, mask, training)
+        else:
+            for block in self.blocks:
+                x = block(x, mask, training)
         if pad:
             x, mask = x[:, :T1], mask[:, :T1]
         # zero padded frames (DS2 parity semantics, deepspeech2.py:174-178):

@@ -205,6 +205,97 @@ def test_conformer_remat_transparent():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_conformer_scan_layers_matches_unrolled():
+    """scan_layers=True is the same math: with the unrolled params stacked
+    (stack_block_params) the logits and the parameter gradients must match
+    the unrolled model's."""
+    from speech_recognition_tpu.models.conformer import stack_block_params
+
+    rng = jax.random.PRNGKey(12)
+    unrolled = _mini_model(dropout=0.0)
+    scanned = _mini_model(dropout=0.0, scan_layers=True)
+    audio = jax.random.uniform(rng, (2, 50, 20, 3), minval=0.1)
+    audio = audio.at[1, 37:].set(0.0)
+    tokens = jnp.array([[1, 5, 9, 0], [2, 7, 0, 0]], jnp.int32)
+    params_u = unrolled.init({"params": rng}, audio)["params"]
+    params_s = stack_block_params(params_u, unrolled.num_layers)
+
+    out_u = unrolled.apply({"params": params_u}, audio)
+    out_s = scanned.apply({"params": params_s}, audio)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), rtol=1e-5, atol=1e-6)
+
+    def loss(model, params):
+        return model.get_loss_fn()(tokens, model.apply({"params": params}, audio))
+
+    g_u = jax.grad(lambda p: loss(unrolled, p))(params_u)
+    g_s = jax.grad(lambda p: loss(scanned, p))(params_s)
+    g_u_stacked = stack_block_params(g_u, unrolled.num_layers)
+    assert jax.tree_util.tree_structure(g_s) == jax.tree_util.tree_structure(g_u_stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(g_u_stacked), jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_conformer_scan_layers_init_structure_and_roundtrip():
+    """The scan model's own init matches the stacked layout exactly (tree
+    structure + shapes), and stack/unstack are inverses."""
+    from speech_recognition_tpu.models.conformer import (
+        stack_block_params,
+        unstack_block_params,
+    )
+
+    rng = jax.random.PRNGKey(13)
+    unrolled = _mini_model(dropout=0.0)
+    scanned = _mini_model(dropout=0.0, scan_layers=True)
+    audio = jax.random.uniform(rng, (2, 40, 12, 1), minval=0.1)
+    params_u = unrolled.init({"params": rng}, audio)["params"]
+    params_s_init = scanned.init({"params": rng}, audio)["params"]
+    params_s = stack_block_params(params_u, unrolled.num_layers)
+
+    assert jax.tree_util.tree_structure(params_s_init) == jax.tree_util.tree_structure(params_s)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_s_init), jax.tree_util.tree_leaves(params_s)
+    ):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    back = unstack_block_params(params_s, unrolled.num_layers)
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(params_u)
+    for a, b in zip(jax.tree_util.tree_leaves(back), jax.tree_util.tree_leaves(params_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conformer_scan_layers_dropout_and_remat():
+    """Dropout rngs split per scanned layer (training mode runs and is
+    non-deterministic across keys), and remat composes inside the scan
+    without changing outputs."""
+    from speech_recognition_tpu.models.conformer import stack_block_params
+
+    rng = jax.random.PRNGKey(14)
+    scanned = _mini_model(scan_layers=True)
+    audio = jax.random.uniform(rng, (2, 40, 12, 1), minval=0.1)
+    variables = scanned.init({"params": rng}, audio)
+    out_det = scanned.apply(variables, audio)
+    out_a = scanned.apply(variables, audio, training=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    out_b = scanned.apply(variables, audio, training=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_det))
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+    scanned_remat = _mini_model(dropout=0.0, scan_layers=True, remat=True)
+    plain = _mini_model(dropout=0.0, scan_layers=True)
+    params = stack_block_params(
+        _mini_model(dropout=0.0).init({"params": rng}, audio)["params"], 2
+    )
+    out_r = scanned_remat.apply({"params": params}, audio)
+    out_p = plain.apply({"params": params}, audio)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_p))
+
+    g_p = jax.grad(lambda p: plain.apply({"params": p}, audio).sum())(params)
+    g_r = jax.grad(lambda p: scanned_remat.apply({"params": p}, audio).sum())(params)
+    # remat's recomputed forward re-associates a few contractions inside the
+    # scan body, so grads agree to float32 noise, not bitwise
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
 def test_conformer_config_registry(tmp_path):
     from speech_recognition_tpu.configs import get_model_config
     from speech_recognition_tpu.configs.data_config import ConfigValidationError
