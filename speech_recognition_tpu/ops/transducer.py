@@ -211,6 +211,144 @@ def _transducer_bwd(res, g):
 transducer_loss.defvjp(_transducer_fwd, _transducer_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused streaming joint: additive joint -> tanh -> vocab -> log-softmax ->
+# (blank, target) planes, computed one encoder frame at a time inside a scan
+# so the [B, T, U+1, V] logits lattice never exists in HBM (at real shapes it
+# would be tens of GB; the planes are [B, T, U+1] + [B, T, U] f32).  The
+# custom VJP recomputes each frame's joint row in the backward (remat by
+# construction — the only residuals are the op's own inputs) and accumulates
+# the weight gradients in f32 scan carries.
+# ---------------------------------------------------------------------------
+
+
+def _joint_row(enc_t, pred_proj, wo, bo):
+    """One encoder frame's joint activations: [B, U1, J] tanh row."""
+    return jnp.tanh(enc_t[:, None, :] + pred_proj)
+
+
+def _row_planes(h, wo, bo, ids, blank_index):
+    """Row logits -> (lse, z_blank, z_emit) without keeping z around."""
+    z = jax.lax.dot_general(
+        h, wo, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bo.astype(jnp.float32)  # [B, U1, V]
+    lse = jax.scipy.special.logsumexp(z, axis=-1)  # [B, U1]
+    z_blank = z[:, :, blank_index]
+    z_emit = jnp.take_along_axis(z[:, :-1, :], ids[:, :, None], axis=2)[:, :, 0]
+    return lse, z_blank, z_emit
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def joint_log_planes(blank_index, enc_proj, pred_proj, wo, bo, ids):
+    """Streamed joint-network log-prob planes.
+
+    blank_index  static int
+    enc_proj     [B, T, J]  encoder projection (W_e @ enc + b_e, pre-tanh)
+    pred_proj    [B, U+1, J] prediction-net projection (pre-tanh)
+    wo, bo       [J, V], [V] vocab projection of the joint
+    ids          [B, U] int32 target labels (ids[:, u] = (u+1)-th label)
+    Returns (lp_blank [B, T, U+1] f32, lp_emit [B, T, U] f32) where
+    lp_*[b, t, u] = log softmax(joint(b, t, u))[blank / ids[b, u]].
+    """
+    lpb, lpe = _joint_planes_fwd_scan(blank_index, enc_proj, pred_proj, wo, bo, ids)
+    return lpb, lpe
+
+
+def _joint_planes_fwd_scan(blank_index, enc_proj, pred_proj, wo, bo, ids):
+    def body(_, enc_t):
+        h = _joint_row(enc_t, pred_proj, wo, bo)
+        lse, z_blank, z_emit = _row_planes(h, wo, bo, ids, blank_index)
+        return None, (z_blank - lse, z_emit - lse[:, :-1])
+
+    _, (lpb, lpe) = jax.lax.scan(body, None, jnp.swapaxes(enc_proj, 0, 1))
+    return jnp.swapaxes(lpb, 0, 1), jnp.swapaxes(lpe, 0, 1)
+
+
+def _joint_planes_fwd(blank_index, enc_proj, pred_proj, wo, bo, ids):
+    out = _joint_planes_fwd_scan(blank_index, enc_proj, pred_proj, wo, bo, ids)
+    return out, (enc_proj, pred_proj, wo, bo, ids)
+
+
+def _joint_planes_bwd(blank_index, res, cots):
+    import numpy as np
+
+    enc_proj, pred_proj, wo, bo, ids = res
+    dlpb, dlpe = cots  # [B, T, U1], [B, T, U] f32
+    B, T, J = enc_proj.shape
+    U1 = pred_proj.shape[1]
+    V = wo.shape[1]
+    f32 = jnp.float32
+    e_blank = (jnp.arange(V) == blank_index).astype(f32)  # [V]
+    onehot_ids = (ids[:, :, None] == jnp.arange(V)[None, None, :]).astype(
+        f32
+    )  # [B, U, V] — MXU scatter (measure.py convention); per-step transient
+
+    def body(carry, inp):
+        dpred, dwo, dbo = carry
+        enc_t, dlpb_t, dlpe_t = inp  # [B,J], [B,U1], [B,U]
+        h = _joint_row(enc_t, pred_proj, wo, bo)  # [B, U1, J]
+        z = jax.lax.dot_general(
+            h, wo, (((2,), (0,)), ((), ())), preferred_element_type=f32
+        ) + bo.astype(f32)
+        p = jax.nn.softmax(z, axis=-1)  # [B, U1, V] f32
+        total = dlpb_t + jnp.pad(dlpe_t, ((0, 0), (0, 1)))  # [B, U1]
+        dz = -p * total[:, :, None]
+        dz = dz + dlpb_t[:, :, None] * e_blank[None, None, :]
+        dz = dz.at[:, :-1, :].add(dlpe_t[:, :, None] * onehot_ids)
+        dh = jax.lax.dot_general(
+            dz.astype(wo.dtype), wo, (((2,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [B, U1, J]
+        dpre = dh * (1.0 - jnp.square(h.astype(f32)))  # tanh'
+        denc_t = jnp.sum(dpre, axis=1)  # [B, J]
+        dpred = dpred + dpre
+        dwo = dwo + jax.lax.dot_general(
+            h, dz.astype(h.dtype), (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=f32,
+        )  # [J, V]
+        dbo = dbo + jnp.sum(dz, axis=(0, 1))
+        return (dpred, dwo, dbo), denc_t
+
+    carry0 = (
+        jnp.zeros((B, U1, J), f32),
+        jnp.zeros((J, V), f32),
+        jnp.zeros((V,), f32),
+    )
+    (dpred, dwo, dbo), denc = jax.lax.scan(
+        body,
+        carry0,
+        (
+            jnp.swapaxes(enc_proj, 0, 1),
+            jnp.swapaxes(dlpb, 0, 1),
+            jnp.swapaxes(dlpe, 0, 1),
+        ),
+    )
+    return (
+        jnp.swapaxes(denc, 0, 1).astype(enc_proj.dtype),
+        dpred.astype(pred_proj.dtype),
+        dwo.astype(wo.dtype),
+        dbo.astype(bo.dtype),
+        np.zeros(ids.shape, jax.dtypes.float0),
+    )
+
+
+joint_log_planes.defvjp(_joint_planes_fwd, _joint_planes_bwd)
+
+
+def joint_log_planes_dense(blank_index, enc_proj, pred_proj, wo, bo, ids):
+    """Reference full-lattice implementation (tests only): materializes the
+    [B, T, U1, V] logits.  Identical math to joint_log_planes."""
+    h = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
+    z = jnp.einsum("btuj,jv->btuv", h, wo, preferred_element_type=jnp.float32)
+    z = z + bo.astype(jnp.float32)
+    lsm = jax.nn.log_softmax(z, axis=-1)
+    lp_blank = lsm[:, :, :, blank_index]
+    lp_emit = jnp.take_along_axis(
+        lsm[:, :, :-1, :], ids[:, None, :, None], axis=3
+    )[:, :, :, 0]
+    return lp_blank, lp_emit
+
+
 def transducer_loss_oracle(lp_blank, lp_emit, frame_lens, label_lens):
     """Brute-force path enumeration (test oracle, tiny shapes only).
 

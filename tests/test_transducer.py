@@ -137,3 +137,91 @@ def test_bf16_inputs_and_finite_at_scale():
     )(lb16, le16)
     assert gb.dtype == jnp.bfloat16 and ge.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(gb, np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Fused streaming joint planes
+# ---------------------------------------------------------------------------
+
+
+def _joint_setup(key, B, T, U, J, V, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    enc_proj = jax.random.normal(ks[0], (B, T, J), dtype) * 0.5
+    pred_proj = jax.random.normal(ks[1], (B, U + 1, J), dtype) * 0.5
+    wo = jax.random.normal(ks[2], (J, V), dtype) * 0.3
+    bo = jax.random.normal(ks[3], (V,), dtype) * 0.1
+    ids = jax.random.randint(ks[4], (B, U), 1, V)
+    return enc_proj, pred_proj, wo, bo, ids
+
+
+def test_joint_planes_match_dense():
+    from speech_recognition_tpu.ops.transducer import (
+        joint_log_planes,
+        joint_log_planes_dense,
+    )
+
+    B, T, U, J, V = 2, 5, 3, 8, 11
+    args = _joint_setup(jax.random.PRNGKey(20), B, T, U, J, V)
+    lpb_f, lpe_f = jax.jit(joint_log_planes, static_argnums=0)(4, *args)
+    lpb_d, lpe_d = joint_log_planes_dense(4, *args)
+    np.testing.assert_allclose(np.asarray(lpb_f), np.asarray(lpb_d), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lpe_f), np.asarray(lpe_d), rtol=1e-5, atol=1e-6)
+
+
+def test_joint_planes_custom_vjp_matches_dense_autodiff():
+    from speech_recognition_tpu.ops.transducer import (
+        joint_log_planes,
+        joint_log_planes_dense,
+    )
+
+    B, T, U, J, V = 2, 4, 3, 8, 11
+    enc_proj, pred_proj, wo, bo, ids = _joint_setup(jax.random.PRNGKey(21), B, T, U, J, V)
+    kb, ke = jax.random.split(jax.random.PRNGKey(22))
+    cot = (
+        jax.random.normal(kb, (B, T, U + 1)),
+        jax.random.normal(ke, (B, T, U)),
+    )
+
+    def fused(e, p, w, b):
+        return joint_log_planes(4, e, p, w, b, ids)
+
+    def dense(e, p, w, b):
+        return joint_log_planes_dense(4, e, p, w, b, ids)
+
+    gf = jax.vjp(fused, enc_proj, pred_proj, wo, bo)[1](cot)
+    gd = jax.vjp(dense, enc_proj, pred_proj, wo, bo)[1](cot)
+    for name, a, b in zip(("enc", "pred", "wo", "bo"), gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6, err_msg=name
+        )
+
+
+def test_joint_planes_end_to_end_loss_grads():
+    """Full composition: joint planes -> transducer_loss, fused == dense,
+    values and all gradients."""
+    from speech_recognition_tpu.ops.transducer import (
+        joint_log_planes,
+        joint_log_planes_dense,
+        transducer_loss,
+    )
+
+    B, T, U, J, V = 3, 6, 4, 8, 9
+    enc_proj, pred_proj, wo, bo, ids = _joint_setup(jax.random.PRNGKey(23), B, T, U, J, V)
+    frame_lens = jnp.array([6, 5, 3], jnp.int32)
+    label_lens = jnp.array([4, 2, 0], jnp.int32)
+
+    def loss(planes_fn, e, p, w, b):
+        lpb, lpe = planes_fn(0, e, p, w, b, ids)
+        return transducer_loss(lpb, lpe, frame_lens, label_lens).sum()
+
+    lf, gf = jax.value_and_grad(lambda *a: loss(joint_log_planes, *a), argnums=(0, 1, 2, 3))(
+        enc_proj, pred_proj, wo, bo
+    )
+    ld, gd = jax.value_and_grad(
+        lambda *a: loss(joint_log_planes_dense, *a), argnums=(0, 1, 2, 3)
+    )(enc_proj, pred_proj, wo, bo)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    for name, a, b in zip(("enc", "pred", "wo", "bo"), gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=2e-6, err_msg=name
+        )

@@ -9,8 +9,15 @@ question this tool answers (scan can inhibit cross-layer fusion; the
 blocks' boundaries are residual adds, so little fusion should be lost).
 
 Variants (identical math — scan params are the unrolled params stacked):
-  unrolled  scan_layers=False (shipped default before this A/B)
-  scan      scan_layers=True, params converted via stack_block_params
+  unrolled    scan_layers=False (shipped default before this A/B)
+  scan_remat  scan_layers=True + remat=True, params via stack_block_params
+
+Plain scan (no remat) OOMs at bench shapes: the scan body's residuals are
+saved per layer as stacked [16, ...] f32 buffers (the [16,128,256,256]
+attention probs alone are 4x512 MB), where the unrolled graph lets XLA
+rematerialize across block boundaries.  remat=True inside the scan body
+recomputes the block in the backward, so only the [B,T,D] carries are
+stored — the viable configuration for scanned layers.
 
 Prints compile seconds and best-of-3 chain-minus-chain ms/step for both,
 plus the loss agreement between the two on the same (params, batch, key).
@@ -48,7 +55,7 @@ KW = dict(
 )
 
 model_u = Conformer(**KW)
-model_s = Conformer(scan_layers=True, **KW)
+model_s = Conformer(scan_layers=True, remat=True, **KW)
 variables_u = jax.device_get(model_u.init({"params": rng}, audio))
 variables_s = {"params": stack_block_params(variables_u["params"], KW["num_layers"])}
 
@@ -81,9 +88,9 @@ def measure(label, model, variables, key):
 
 
 bu, cu, lu = measure("unrolled", model_u, variables_u, rng)
-bs, cs, ls = measure("scan", model_s, variables_s, rng)
+bs, cs, ls = measure("scan_remat", model_s, variables_s, rng)
 print(
-    f"RESULT unrolled={bu:.1f}ms/{cu:.0f}s  scan={bs:.1f}ms/{cs:.0f}s  "
+    f"RESULT unrolled={bu:.1f}ms/{cu:.0f}s  scan_remat={bs:.1f}ms/{cs:.0f}s  "
     f"step_delta={bs - bu:+.1f} ms  compile_delta={cs - cu:+.0f} s  "
     f"loss_unrolled={lu:.4f} loss_scan={ls:.4f}",
     flush=True,
