@@ -46,6 +46,8 @@ def get_model_config(model_config_path: str):
         return LASConfig(**model_config_dict)
     if model_name == "conformer":
         return ConformerConfig(**model_config_dict)
+    if model_name in ("transducer", "rnnt", "rnn-t"):
+        return TransducerConfig(**model_config_dict)
     raise ConfigValidationError(f"Model Name: {model_name} is invalid!")
 
 
@@ -177,6 +179,91 @@ class ConformerConfig(ModelConfig):
             pad_index=self.pad_index,
             remat=self.remat,
             scan_layers=self.scan_layers,
+        )
+
+
+@dataclass
+class TransducerConfig(ModelConfig):
+    """Config for the RNN-Transducer model (beyond reference parity).
+
+    Conformer encoder + LSTM prediction network + additive joint; the
+    training objective is the streamed RNN-T lattice loss
+    (ops/transducer.py).  ``blank_index`` is the transducer blank;
+    ``pad_index`` pads token batches (the two may coincide at 0)."""
+
+    # size of vocabulary
+    vocab_size: int
+    # encoder width (model dim of every conformer block)
+    encoder_dim: int
+    # number of conformer blocks in the encoder
+    num_encoder_layers: int
+    # attention heads (head dim = encoder_dim / heads must be even for RoPE)
+    num_attention_heads: int
+    # depthwise conv kernel width inside each block
+    conv_kernel_size: int
+    # feed-forward expansion factor
+    ffn_expansion: int
+    # channels of the stride-2 conv subsampling stem
+    subsample_channels: List[int]
+    # prediction-net LSTM width (and embedding dim)
+    pred_dim: int
+    # prediction-net LSTM layers
+    num_pred_layers: int
+    # joint-network width (additive combine -> tanh -> vocab)
+    joint_dim: int
+    # dropout rate
+    dropout: float
+    # the index of the transducer blank token
+    blank_index: int
+    # the index of the pad token
+    pad_index: int
+    # rematerialize encoder block activations in the backward pass
+    remat: bool = False
+
+    model_name: str = "Transducer"
+
+    def __post_init__(self):
+        _check_type(
+            self,
+            "vocab_size",
+            "encoder_dim",
+            "num_encoder_layers",
+            "num_attention_heads",
+            "conv_kernel_size",
+            "ffn_expansion",
+            "pred_dim",
+            "num_pred_layers",
+            "joint_dim",
+            "dropout",
+            "blank_index",
+            "pad_index",
+            "remat",
+        )
+        if self.encoder_dim % self.num_attention_heads:
+            raise ConfigValidationError("'encoder_dim' must divide by 'num_attention_heads'")
+        if (self.encoder_dim // self.num_attention_heads) % 2:
+            raise ConfigValidationError("attention head dim must be even (RoPE pairs)")
+        if not self.subsample_channels:
+            raise ConfigValidationError("'subsample_channels' must be non-empty")
+
+    def create_model(self):
+        from ..models import Transducer
+
+        return Transducer(
+            vocab_size=self.vocab_size,
+            encoder_dim=self.encoder_dim,
+            num_encoder_layers=self.num_encoder_layers,
+            num_attention_heads=self.num_attention_heads,
+            conv_kernel_size=self.conv_kernel_size,
+            ffn_expansion=self.ffn_expansion,
+            subsample_channels=tuple(self.subsample_channels),
+            pred_dim=self.pred_dim,
+            num_pred_layers=self.num_pred_layers,
+            joint_dim=self.joint_dim,
+            dropout=self.dropout,
+            blank_index=self.blank_index,
+            pad_index=self.pad_index,
+            remat=self.remat,
         )
 
 

@@ -71,10 +71,10 @@ def build_variables(model, model_config, data_config, rng, audio_len=64, token_l
     init also materializes transient sown collections (e.g. the MoE
     'aux_loss', models/moe.py) that checkpoints never contain, and the
     restore template must match the checkpoint structure."""
-    from ..models import LAS
+    from ..models import LAS, Transducer
 
     audio = jnp.zeros((1, audio_len, data_config.frequency_dim, data_config.feature_dim), jnp.float32)
-    if isinstance(model, LAS):
+    if isinstance(model, (LAS, Transducer)):
         tokens = jnp.zeros((1, token_len), jnp.int32)
         variables = model.init({"params": rng}, (audio, tokens))
     else:

@@ -37,9 +37,9 @@ def main(args: argparse.Namespace):
 
     from ..configs import DataConfig, get_model_config
     from ..data import SentencePieceTokenizer, load_audio_file
-    from ..models import LAS
+    from ..models import LAS, Transducer
     from ..ops.features import delta_accelerate
-    from ..search import DeepSpeechSearcher, LASSearcher
+    from ..search import DeepSpeechSearcher, LASSearcher, TransducerSearcher
     from ..train import restore_weights
 
     if args.mixed_precision:
@@ -90,6 +90,10 @@ def main(args: argparse.Namespace):
 
     if isinstance(model, LAS):
         searcher = LASSearcher(model, variables, config.max_token_length, bos_id, eos_id, model_config.pad_id)
+    elif isinstance(model, Transducer):
+        searcher = TransducerSearcher(
+            model, variables, config.max_token_length, bos_id, eos_id, model_config.pad_index
+        )
     else:
         # any CTC-family model (DeepSpeech2, Conformer): the searcher only
         # needs model.apply -> logits plus the blank index

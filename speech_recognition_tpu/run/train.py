@@ -179,7 +179,7 @@ def main(cfg: TrainConfig):
     import optax
 
     from ..data import SentencePieceTokenizer, padded_batch, shuffle_stream
-    from ..models import LAS
+    from ..models import LAS, Transducer
     from ..parallel import get_device_mesh, shard_batch, shard_params
     from ..train import (
         TrainState,
@@ -312,6 +312,9 @@ def main(cfg: TrainConfig):
         )
 
     is_las = isinstance(model, LAS)
+    # models whose input is (features, decoder/prediction tokens): the
+    # batcher ships ((audio, lengths), tokens[:-1]) / tokens[1:]
+    token_conditioned = is_las or isinstance(model, Transducer)
     raw_mode = cfg.on_device_frontend and not cfg.use_tfrecord
     train_preprocess = eval_preprocess = None
     if raw_mode:
@@ -325,7 +328,7 @@ def main(cfg: TrainConfig):
             # the frontend returns (features, frame_lengths); thread the true
             # lengths into the model so masks survive SpecAugment time masks
             def _pre(model_input, rng):
-                if is_las:
+                if token_conditioned:
                     (audio, lengths), dec_in = model_input
                     return front(audio, lengths, rng), dec_in
                 audio, lengths = model_input
@@ -405,7 +408,7 @@ def main(cfg: TrainConfig):
                 tokens = _stack_padded([t[:t_len] for _, _, t in batch], t_len, np.int32, rows)
                 lengths = np.zeros(rows, np.int32)
                 lengths[: len(batch)] = [min(int(l[0]), a_len) for _, l, _ in batch]
-                if is_las:
+                if token_conditioned:
                     yield ((audio, lengths), tokens[:, :-1]), tokens[:, 1:]
                 else:
                     yield (audio, lengths), tokens
@@ -444,7 +447,7 @@ def main(cfg: TrainConfig):
         # SpecAugment time masks zero tail frames (the last-nonzero-frame
         # heuristic would truncate the encoder mask; models/las.py)
         for audio, lengths, tokens in batches:
-            if is_las:
+            if token_conditioned:
                 model_input, y_true = ((audio, lengths), tokens[:, :-1]), tokens[:, 1:]
             else:
                 model_input, y_true = (audio, lengths), tokens

@@ -490,3 +490,137 @@ def ctc_beam_decode(log_probs: jnp.ndarray, blank_index: int, beam_size: int):
     pos = jnp.arange(T)[None, None, :]
     prefixes = jnp.where(pos < lengths[:, :, None], prefixes, 0)
     return prefixes, total
+
+
+class TransducerSearcher:
+    """Greedy (and breadth-limited beam) RNN-T decode, fully on device.
+
+    Standard transducer greedy loop (Graves 2012 §3.1): at lattice node
+    (t, u) take the joint's argmax; blank advances time, a label advances
+    the prediction network.  Static-shape jitted program: one
+    ``lax.while_loop`` whose every iteration advances t or u on every
+    active lane (the emit-cap forces blank once ``max_token_length`` labels
+    are out, so it terminates in <= T' + L iterations per lane).
+
+    The prediction-net steps run through ops/rnn.cell_step on raw
+    parameter arrays — the same stepwise-decode pattern as LASSearcher's
+    fused kernels (search.py:83-100 above).
+    """
+
+    def __init__(self, model, variables, max_token_length: int, bos_id: int,
+                 eos_id: int, pad_id: int = 0):
+        self.model = model
+        self.variables = variables
+        self.max_token_length = max_token_length
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self._greedy = jax.jit(self._greedy_impl)
+
+    # ------------------------------------------------------------- plumbing
+    def _pred_params(self):
+        # jnp.asarray: restored checkpoints hold host numpy arrays, and
+        # numpy fancy-indexing (emb[tok]) can't take a tracer
+        p = self.variables["params"]
+        a = lambda x, dt=self.model.dtype: jnp.asarray(x).astype(dt)
+        emb = a(p["embedding"]["embedding"])
+        cells = [
+            (
+                a(p[f"pred_layer{i}"]["cell"]["kernel"]),
+                a(p[f"pred_layer{i}"]["cell"]["recurrent_kernel"]),
+                a(p[f"pred_layer{i}"]["cell"]["bias"]),
+            )
+            for i in range(self.model.num_pred_layers)
+        ]
+        wp = a(p["pred_proj"]["kernel"])
+        wo = a(p["joint_kernel"])
+        bo = a(p["joint_bias"], jnp.float32)
+        return emb, cells, wp, wo, bo
+
+    def _pred_step(self, tok, states, emb, cells, wp):
+        """One prediction-net step: [B] token ids + LSTM states ->
+        (pred_proj [B, J], new states)."""
+        from .ops.rnn import cell_step
+
+        x = emb[tok]
+        new_states = []
+        for (k, rk, b), st in zip(cells, states):
+            x_proj = x @ k + b
+            x, st_new = cell_step("lstm", x_proj, st, rk, None, self.model.pred_dim)
+            new_states.append(st_new)
+        return x @ wp, tuple(new_states)
+
+    # --------------------------------------------------------------- greedy
+    def greedy_search(self, audio_input):
+        """:return: (tokens [B, max_token_length] pad-padded, probability [B])."""
+        return self._greedy(jnp.asarray(audio_input))
+
+    def _greedy_impl(self, audio_input):
+        from .models import Transducer
+
+        enc_proj, frame_lens = self.model.apply(
+            self.variables, audio_input, method=Transducer.encode
+        )
+        B, T, J = enc_proj.shape
+        L = self.max_token_length
+        emb, cells, wp, wo, bo = self._pred_params()
+        H = self.model.pred_dim
+
+        dt = enc_proj.dtype
+        states0 = tuple((jnp.zeros((B, H), dt), jnp.zeros((B, H), dt)) for _ in cells)
+        g0, states0 = self._pred_step(jnp.full((B,), self.bos_id, jnp.int32), states0, emb, cells, wp)
+
+        def cond(carry):
+            t, *_ = carry
+            return jnp.any(t < frame_lens)
+
+        def body(carry):
+            t, u, tokens, logp, g, states = carry
+            enc_t = jnp.take_along_axis(
+                enc_proj, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+            )[:, 0, :]
+            z = jnp.tanh(enc_t + g) @ wo + bo  # [B, V] (bo is f32 -> z f32)
+            lsm = jax.nn.log_softmax(z.astype(jnp.float32), axis=-1)
+            tok = jnp.argmax(lsm, axis=-1).astype(jnp.int32)
+            lp_tok = jnp.take_along_axis(lsm, tok[:, None], axis=1)[:, 0]
+
+            active = t < frame_lens
+            capped = u >= L
+            is_eos = tok == self.eos_id
+            emit = active & ~capped & (tok != self.model.blank_index) & ~is_eos
+
+            logp = logp + jnp.where(active, lp_tok, 0.0)
+            # EOS ends the lane outright; blank (or cap) advances time
+            t = jnp.where(active & is_eos, frame_lens, jnp.where(active & ~emit, t + 1, t))
+
+            write = (jnp.arange(L)[None, :] == u[:, None]) & emit[:, None]
+            tokens = jnp.where(write, tok[:, None], tokens)
+            u = u + emit.astype(jnp.int32)
+
+            g_new, states_new = self._pred_step(tok, states, emb, cells, wp)
+            sel = lambda new, old: jnp.where(emit[:, None], new, old)
+            g = sel(g_new, g)
+            states = tuple(
+                (sel(hn, ho), sel(cn, co))
+                for (hn, cn), (ho, co) in zip(states_new, states)
+            )
+            return t, u, tokens, logp, g, states
+
+        init = (
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B, L), self.pad_id, jnp.int32),
+            jnp.zeros((B,), jnp.float32),
+            g0,
+            states0,
+        )
+        t, u, tokens, logp, g, states = jax.lax.while_loop(cond, body, init)
+        return tokens, jnp.exp(logp)
+
+    def beam_search(self, audio_input, beam_size: int):
+        """Not yet implemented for the transducer family — the lattice beam
+        (ALSD / TSD) is a different algorithm from the LAS/CTC beams.  Use
+        greedy decode (beam_size = 0)."""
+        raise NotImplementedError(
+            "Transducer beam search is not implemented; use greedy (--beam-size 0)"
+        )

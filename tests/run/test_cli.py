@@ -17,6 +17,7 @@ from ..const import (
     TEST_DATA_DIR,
     TEST_DS_CONFIG,
     TEST_CONFORMER_CONFIG,
+    TEST_TRANSDUCER_CONFIG,
     TEST_DS_MOE_CONFIG,
     TEST_LAS_CONFIG,
     TEST_LAS_KSPON_CONFIG,
@@ -310,6 +311,36 @@ def test_train_and_evaluate_cli_conformer(tmp_path):
             lines = f.read().strip().split("\n")
         assert lines[0].startswith("Prediction\tTarget")
         assert len(lines) == 3
+
+
+def test_train_and_evaluate_cli_transducer(tmp_path):
+    """RNN-Transducer (beyond parity, models/transducer.py) end-to-end:
+    train through the CLI (streamed lattice loss), then greedy-decode the
+    checkpoint through the evaluate CLI (TransducerSearcher)."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+
+    args = _train_args(tmp_path, TEST_TRANSDUCER_CONFIG)
+    train_main(TrainConfig(**vars(train_parser.parse_args(args))))
+    ckpts = sorted((tmp_path / "output" / "models").iterdir())
+    assert len(ckpts) == 2
+
+    out_tsv = str(tmp_path / "eval_transducer.tsv")
+    eval_main(eval_parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", TEST_TRANSDUCER_CONFIG,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", str(ckpts[-1]),
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+    ]))
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3
 
 
 def test_train_cli_fsdp(tmp_path):
