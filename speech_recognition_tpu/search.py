@@ -516,6 +516,7 @@ class TransducerSearcher:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self._greedy = jax.jit(self._greedy_impl)
+        self._beam = jax.jit(self._beam_impl, static_argnums=(1, 2))
 
     # ------------------------------------------------------------- plumbing
     def _pred_params(self):
@@ -617,10 +618,142 @@ class TransducerSearcher:
         t, u, tokens, logp, g, states = jax.lax.while_loop(cond, body, init)
         return tokens, jnp.exp(logp)
 
-    def beam_search(self, audio_input, beam_size: int):
-        """Not yet implemented for the transducer family — the lattice beam
-        (ALSD / TSD) is a different algorithm from the LAS/CTC beams.  Use
-        greedy decode (beam_size = 0)."""
-        raise NotImplementedError(
-            "Transducer beam search is not implemented; use greedy (--beam-size 0)"
+    # ----------------------------------------------------------------- beam
+    def beam_search(self, audio_input, beam_size: int, max_symbols: int = 4):
+        """Time-synchronous transducer beam search (TSD; Graves 2012 §3.2
+        restricted to a fixed per-frame expansion budget, the static-shape
+        form the n-best literature calls TSD-with-max-sym-exp).
+
+        Per encoder frame, every live hypothesis is expanded at most
+        ``max_symbols`` times: each expansion round scores the joint once
+        ([B, K, V] — one MXU matmul), moves blank/EOS continuations into the
+        frame's *done* pool, and keeps the top-K label extensions as the
+        *active* pool for the next round.  After the budget the active pool
+        is forced to take blank.  The whole search is one ``lax.scan`` over
+        frames with [B, K, ...] carries — fixed shapes, no host round-trips.
+
+        Scores are raw single-alignment log-probabilities (no length
+        normalization, no prefix recombination — hypotheses that emit the
+        same labels along different alignments stay distinct, matching the
+        common production TSD simplification).
+
+        :return: (tokens [B, beam_size, max_token_length] sorted best-first,
+                  probability [B, beam_size]).
+        """
+        return self._beam(jnp.asarray(audio_input), int(beam_size), int(max_symbols))
+
+    def _beam_impl(self, audio_input, beam_size: int, max_symbols: int):
+        from .models import Transducer
+
+        enc_proj, frame_lens = self.model.apply(
+            self.variables, audio_input, method=Transducer.encode
         )
+        B, T, J = enc_proj.shape
+        K = beam_size
+        L = self.max_token_length
+        emb, cells, wp, wo, bo = self._pred_params()
+        H = self.model.pred_dim
+        dt = enc_proj.dtype
+        NEG = jnp.float32(-1e30)
+
+        # beam slot 0 holds the BOS hypothesis; the rest start dead
+        g0, st0 = self._pred_step(jnp.full((B,), self.bos_id, jnp.int32),
+                                  tuple((jnp.zeros((B, H), dt), jnp.zeros((B, H), dt)) for _ in cells),
+                                  emb, cells, wp)
+        score0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG) * jnp.ones((B, 1))
+        carry0 = (
+            score0,                                        # [B, K] log p
+            jnp.zeros((B, K), bool),                       # fin: EOS taken
+            jnp.full((B, K, L), self.pad_id, jnp.int32),   # emitted labels
+            jnp.zeros((B, K), jnp.int32),                  # u: emit count
+            jnp.broadcast_to(g0[:, None, :], (B, K, J)),   # pred_proj
+            tuple((jnp.broadcast_to(h[:, None, :], (B, K, H)),
+                   jnp.broadcast_to(c[:, None, :], (B, K, H))) for h, c in st0),
+        )
+
+        def gather(x, idx):
+            """Gather beam rows: x [B, K, ...] by idx [B, K']."""
+            full = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, full.astype(jnp.int32), axis=1)
+
+        def frame(carry, xs):
+            enc_t, t = xs  # [B, J], scalar
+            c_score, c_fin, c_tokens, c_u, c_g, c_states = carry
+            frame_on = t < frame_lens  # [B]
+
+            # frame-done pool (blank taken / carried); starts empty
+            d = None
+
+            for e in range(max_symbols):
+                z = jnp.tanh(enc_t[:, None, :] + c_g) @ wo + bo  # [B, K, V] f32
+                lsm = jax.nn.log_softmax(z.astype(jnp.float32), axis=-1)
+                live = frame_on[:, None] & ~c_fin & (c_score > NEG / 2)
+
+                # blank finishes the frame; EOS finishes the hypothesis;
+                # dead-frame / finished hyps carry unchanged (score + 0)
+                blank_sc = c_score + jnp.where(live, lsm[..., self.model.blank_index], 0.0)
+                eos_sc = jnp.where(live, c_score + lsm[..., self.eos_id], NEG)
+                cand_score = jnp.concatenate([blank_sc, eos_sc], axis=1)      # [B, 2K]
+                cand_fin = jnp.concatenate([c_fin, jnp.ones_like(c_fin)], axis=1)
+                if d is not None:
+                    cand_score = jnp.concatenate([d[0], cand_score], axis=1)
+                    cand_fin = jnp.concatenate([d[1], cand_fin], axis=1)
+                d_score, d_idx = jax.lax.top_k(cand_score, K)
+                if d is None:
+                    # parents of the 2K candidates are cur[idx % K]
+                    parent = d_idx % K
+                    d = (d_score, jnp.take_along_axis(cand_fin, d_idx, axis=1),
+                         gather(c_tokens, parent), gather(c_u, parent),
+                         gather(c_g, parent),
+                         tuple((gather(h, parent), gather(c, parent)) for h, c in c_states))
+                else:
+                    # first K candidates are the old pool, rest map to cur
+                    from_pool = d_idx < K
+                    parent = jnp.where(from_pool, d_idx, (d_idx - K) % K)
+                    pick = lambda pool_x, cur_x: jnp.where(
+                        from_pool.reshape(from_pool.shape + (1,) * (cur_x.ndim - 2)),
+                        gather(pool_x, parent), gather(cur_x, parent))
+                    d = (d_score, jnp.take_along_axis(cand_fin, d_idx, axis=1),
+                         pick(d[2], c_tokens), pick(d[3], c_u), pick(d[4], c_g),
+                         tuple((pick(ph, ch), pick(pc, cc))
+                               for (ph, pc), (ch, cc) in zip(d[5], c_states)))
+
+                if e == max_symbols - 1:
+                    break  # budget exhausted: remaining actives were forced blank above
+
+                # label extensions -> new active pool
+                lab = lsm.at[..., self.model.blank_index].set(NEG)
+                lab = lab.at[..., self.eos_id].set(NEG)
+                if self.pad_id != self.model.blank_index:
+                    lab = lab.at[..., self.pad_id].set(NEG)
+                can_lab = live & (c_u < L)
+                kv = min(K, lab.shape[-1])  # per-hyp label fanout
+                top_lp, top_id = jax.lax.top_k(lab, kv)  # [B, K, kv]
+                lab_sc = jnp.where(can_lab[:, :, None], c_score[:, :, None] + top_lp, NEG)
+                n_score, flat = jax.lax.top_k(lab_sc.reshape(B, K * kv), K)
+                parent = flat // kv
+                n_tok = jnp.take_along_axis(
+                    top_id.reshape(B, K * kv), flat, axis=1).astype(jnp.int32)  # [B, K]
+                n_u = gather(c_u, parent)
+                n_tokens = gather(c_tokens, parent)
+                write = jnp.arange(L)[None, None, :] == n_u[:, :, None]
+                n_tokens = jnp.where(write & (n_score > NEG / 2)[:, :, None],
+                                     n_tok[:, :, None], n_tokens)
+                p_states = tuple((gather(h, parent).reshape(B * K, H),
+                                  gather(c, parent).reshape(B * K, H))
+                                 for h, c in c_states)
+                n_g, n_states = self._pred_step(n_tok.reshape(B * K), p_states, emb, cells, wp)
+                c_score, c_fin = n_score, jnp.zeros((B, K), bool)
+                c_tokens, c_u = n_tokens, n_u + (n_score > NEG / 2).astype(jnp.int32)
+                c_g = n_g.reshape(B, K, J)
+                c_states = tuple((h.reshape(B, K, H), c.reshape(B, K, H)) for h, c in n_states)
+
+            return d, None
+
+        final, _ = jax.lax.scan(
+            frame, carry0,
+            (jnp.swapaxes(enc_proj, 0, 1), jnp.arange(T, dtype=jnp.int32)),
+        )
+        f_score, _, f_tokens, _, _, _ = final
+        order_score, order = jax.lax.top_k(f_score, K)
+        return gather(f_tokens, order), jnp.exp(order_score)

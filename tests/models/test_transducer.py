@@ -188,6 +188,98 @@ def test_greedy_against_host_reference():
     np.testing.assert_allclose(float(got_prob[0]), np.exp(logp), rtol=1e-4)
 
 
+def test_beam_search_shapes_and_order():
+    from speech_recognition_tpu.search import TransducerSearcher
+
+    model = _mini_model()
+    audio, dec_in, _ = _batch(jax.random.PRNGKey(13))
+    variables = model.init({"params": jax.random.PRNGKey(14)}, (audio, dec_in))
+    searcher = TransducerSearcher(model, dict(variables), max_token_length=8, bos_id=1, eos_id=2)
+    tokens, prob = searcher.beam_search(audio, beam_size=4)
+    tokens, prob = np.asarray(tokens), np.asarray(prob)
+    assert tokens.shape == (2, 4, 8) and prob.shape == (2, 4)
+    # sorted best-first, valid probabilities and vocab ids
+    assert np.all(np.diff(prob, axis=1) <= 1e-7)
+    assert np.all((prob >= 0) & (prob <= 1.0 + 1e-6))
+    assert np.all(tokens >= 0) and np.all(tokens < model.vocab_size)
+
+
+def test_beam_at_least_greedy():
+    """The greedy path is in the beam's search space (per-frame budget >=
+    greedy's emissions), so the top beam score must be >= greedy's."""
+    from speech_recognition_tpu.search import TransducerSearcher
+
+    model = _mini_model()
+    audio, dec_in, _ = _batch(jax.random.PRNGKey(15))
+    variables = model.init({"params": jax.random.PRNGKey(16)}, (audio, dec_in))
+    L = 6
+    searcher = TransducerSearcher(model, dict(variables), max_token_length=L, bos_id=1, eos_id=2)
+    _, g_prob = searcher.greedy_search(audio)
+    _, b_prob = searcher.beam_search(audio, beam_size=8, max_symbols=L + 1)
+    assert np.all(np.asarray(b_prob)[:, 0] >= np.asarray(g_prob) * (1 - 1e-5))
+
+
+def test_beam_matches_exhaustive_oracle():
+    """With beam_size >= the whole hypothesis space, TSD beam search is
+    exhaustive: its top-1 must equal a host Viterbi oracle that enumerates
+    every label sequence and max-plus DPs its best alignment (including
+    EOS-terminated paths)."""
+    from itertools import product
+
+    from speech_recognition_tpu.search import TransducerSearcher
+
+    # ids: 0 blank/pad, 2 eos; every other id (incl. bos=1) is a label in
+    # decode, exactly as in greedy.  T'=1 encoder frame + Lmax=2 keeps the
+    # full hypothesis space (42) under beam_size=64 -> zero pruning.
+    V, Lmax, LABELS = 6, 2, (1, 3, 4, 5)
+    model = _mini_model(vocab_size=V)
+    rng = jax.random.PRNGKey(17)
+    audio = jax.random.uniform(rng, (1, 8, 20, 3), minval=0.1)  # -> 1 enc frame
+    dec_in = jnp.array([[1, 3, 0]], jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(18)}, (audio, dec_in))
+    searcher = TransducerSearcher(model, dict(variables), max_token_length=Lmax, bos_id=1, eos_id=2)
+    b_tokens, b_prob = searcher.beam_search(audio, beam_size=64, max_symbols=Lmax + 1)
+
+    enc_proj, frame_lens = model.apply(dict(variables), audio, method=Transducer.encode)
+    enc = np.asarray(enc_proj, np.float32)[0]
+    T = int(frame_lens[0])
+    wo = np.asarray(variables["params"]["joint_kernel"], np.float32)
+    bo = np.asarray(variables["params"]["joint_bias"], np.float32)
+
+    def lsm_row(t, g_u):
+        z = np.tanh(enc[t] + g_u) @ wo + bo
+        return z - (np.log(np.exp(z - z.max()).sum()) + z.max())
+
+    best, best_seq = -np.inf, ()
+    for m in range(Lmax + 1):
+        for y in product(LABELS, repeat=m):
+            toks = jnp.array([[1, *y]], jnp.int32)
+            g = np.asarray(
+                model.apply(dict(variables), toks, method=Transducer.predict_sequence),
+                np.float32,
+            )[0]  # [m+1, J]
+            lsm = np.stack([[lsm_row(t, g[u]) for u in range(m + 1)] for t in range(T)])
+            alpha = np.full((T + 1, m + 1), -np.inf)
+            alpha[0, 0] = 0.0
+            for t in range(T):
+                for u in range(m + 1):
+                    if alpha[t, u] == -np.inf:
+                        continue
+                    alpha[t + 1, u] = max(alpha[t + 1, u], alpha[t, u] + lsm[t, u, 0])
+                    if u < m:
+                        alpha[t, u + 1] = max(alpha[t, u + 1], alpha[t, u] + lsm[t, u, int(y[u])])
+            score = alpha[T, m]  # all frames consumed by blanks
+            for t in range(T):  # or EOS-terminated at any (t, m) node
+                if alpha[t, m] > -np.inf:
+                    score = max(score, alpha[t, m] + lsm[t, m, 2])
+            if score > best:
+                best, best_seq = score, y
+    np.testing.assert_allclose(float(np.log(np.asarray(b_prob)[0, 0])), best, atol=1e-4)
+    want = np.zeros(Lmax, np.int32)
+    want[: len(best_seq)] = best_seq
+    np.testing.assert_array_equal(np.asarray(b_tokens)[0, 0], want)
+
+
 def test_config_registry(tmp_path):
     from speech_recognition_tpu.configs import get_model_config
     from speech_recognition_tpu.configs.data_config import ConfigValidationError

@@ -326,21 +326,22 @@ def test_train_and_evaluate_cli_transducer(tmp_path):
     ckpts = sorted((tmp_path / "output" / "models").iterdir())
     assert len(ckpts) == 2
 
-    out_tsv = str(tmp_path / "eval_transducer.tsv")
-    eval_main(eval_parser.parse_args([
-        "--data-config", MINI_DATA_CONFIG,
-        "--model-config", TEST_TRANSDUCER_CONFIG,
-        "--dataset-paths", WAV_DATASET_PATH,
-        "--model-path", str(ckpts[-1]),
-        "--sp-model-path", SP_MODEL_LIBRI,
-        "--output-path", out_tsv,
-        "--batch-size", "2",
-        "--device", "CPU",
-    ]))
-    with open(out_tsv) as f:
-        lines = f.read().strip().split("\n")
-    assert lines[0].startswith("Prediction\tTarget")
-    assert len(lines) == 3
+    for name, beam in (("eval_transducer.tsv", []), ("eval_transducer_beam.tsv", ["--beam-size", "2"])):
+        out_tsv = str(tmp_path / name)
+        eval_main(eval_parser.parse_args([
+            "--data-config", MINI_DATA_CONFIG,
+            "--model-config", TEST_TRANSDUCER_CONFIG,
+            "--dataset-paths", WAV_DATASET_PATH,
+            "--model-path", str(ckpts[-1]),
+            "--sp-model-path", SP_MODEL_LIBRI,
+            "--output-path", out_tsv,
+            "--batch-size", "2",
+            "--device", "CPU",
+        ] + beam))
+        with open(out_tsv) as f:
+            lines = f.read().strip().split("\n")
+        assert lines[0].startswith("Prediction\tTarget")
+        assert len(lines) == 3
 
 
 def test_train_cli_fsdp(tmp_path):
