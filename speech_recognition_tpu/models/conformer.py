@@ -44,6 +44,7 @@ import flax.linen as nn
 
 from ..measure import ctc_loss, ctc_loss_from_hidden
 from ..ops.dropout import FastDropout
+from ..ops.dw_conv import depthwise_conv1d
 from ..ops.pallas.attention_kernel import NEG_INF, fused_mhsa, fused_mhsa_supported
 from ..ops.s2d_conv import Conv2DValid
 from .las import audio_frame_lengths, split_audio_lengths
@@ -220,14 +221,9 @@ class ConvModule(nn.Module):
             (self.kernel_size, 1, self.dim),
             jnp.float32,
         )
-        x = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1,),
-            padding="SAME",
-            feature_group_count=self.dim,
-            dimension_numbers=("NTC", "TIO", "NTC"),
-        )
+        # custom-VJP wrapper: XLA SPMD mis-partitions the grouped-conv
+        # KERNEL grad on multi-axis meshes (see ops/dw_conv.py docstring)
+        x = depthwise_conv1d(x, kernel.astype(x.dtype))
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.swish(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pointwise2")(x)

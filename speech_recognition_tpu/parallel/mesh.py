@@ -120,16 +120,17 @@ def shard_batch(batch, mesh: Mesh, multihost: Optional[bool] = None):
 # parameters whose last axis matches these names shard over the model axis
 _TP_PATTERNS = (
     r"feedforward/kernel$",        # LAS vocab projection
-    r"fully_connected/kernel$",    # DS2 vocab projection
+    r"fully_connected/kernel$",    # DS2 / Conformer vocab projection
+    r"joint_kernel$",              # Transducer joint -> vocab projection
     r"embedding/embedding$",       # token embedding (vocab rows)
 )
 
 
 def param_spec(path: str, param) -> P:
     """Tensor-parallel PartitionSpec for a parameter path, replicated default."""
-    if re.search(_TP_PATTERNS[2], path):
+    if re.search(_TP_PATTERNS[-1], path):
         return P("model", None)  # shard vocab rows of the embedding
-    for pat in _TP_PATTERNS[:2]:
+    for pat in _TP_PATTERNS[:-1]:
         if re.search(pat, path):
             return P(None, "model")  # shard vocab columns of the projections
     return P(*([None] * getattr(param, "ndim", 0)))

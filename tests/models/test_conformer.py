@@ -232,7 +232,9 @@ def test_conformer_scan_layers_matches_unrolled():
     g_u_stacked = stack_block_params(g_u, unrolled.num_layers)
     assert jax.tree_util.tree_structure(g_s) == jax.tree_util.tree_structure(g_u_stacked)
     for a, b in zip(jax.tree_util.tree_leaves(g_u_stacked), jax.tree_util.tree_leaves(g_s)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        # rtol 1e-4: scan-vs-unrolled XLA scheduling plus the tap-sum
+        # dkernel reduction order (ops/dw_conv.py) shift the last float bits
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 def test_conformer_scan_layers_init_structure_and_roundtrip():

@@ -196,3 +196,48 @@ def test_sharded_decode_matches_single_device(eight_devices):
         )
     finally:
         set_active_mesh(None)
+
+
+def test_tensor_parallel_transducer_matches_single_device(eight_devices):
+    """Transducer dp x tp == single-device: joint_kernel columns and the
+    token embedding rows shard over 'model' (parallel/mesh.py _TP_PATTERNS),
+    the streamed lattice loss (ops/transducer.py) reduces identically."""
+    from speech_recognition_tpu.models import Transducer
+
+    model = Transducer(
+        vocab_size=32, encoder_dim=16, num_encoder_layers=1, num_attention_heads=2,
+        conv_kernel_size=5, ffn_expansion=2, subsample_channels=(4,),
+        pred_dim=8, num_pred_layers=1, joint_dim=8, dropout=0.0,
+    )
+    rng = jax.random.PRNGKey(3)
+    audio = jax.random.uniform(rng, (8, 40, 12, 3), minval=0.1)
+    tokens = jax.random.randint(rng, (8, 6), 3, 32)
+    tokens = tokens.at[:, 0].set(1).at[:, -1].set(2)  # BOS ... EOS
+    model_input, y_true = (audio, tokens[:, :-1]), tokens[:, 1:]
+    variables = model.init({"params": rng}, model_input)
+    tx = optax.sgd(0.1)
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics())
+
+    def fresh(v):
+        return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), dict(v))
+
+    state1 = TrainState.create(fresh(variables), tx)
+    state1, m1 = step(state1, model_input, y_true, jax.random.PRNGKey(4))
+
+    mesh = get_device_mesh(data_parallel=4, model_parallel=2, devices=eight_devices)
+    state_tp = TrainState.create(fresh(variables), tx)
+    state_tp = state_tp.replace(
+        params=shard_params(state_tp.params, mesh, tensor_parallel=True),
+        opt_state=shard_params(state_tp.opt_state, mesh, tensor_parallel=True),
+    )
+    assert "model" in str(state_tp.params["joint_kernel"].sharding.spec)
+    assert "model" in str(state_tp.params["embedding"]["embedding"].sharding.spec)
+    state_tp, m_tp = step(
+        state_tp, shard_batch(model_input, mesh), shard_batch(y_true, mesh), jax.random.PRNGKey(4)
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params), jax.tree_util.tree_leaves(state_tp.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
