@@ -168,7 +168,7 @@ def main(args: argparse.Namespace):
     logger.info(f"[+] Average CER: {sum(cers) / len(cers) * 100:.4f}%")
 
     if args.output_path:
-        with open(args.output_path, "w") as fout:
+        with open_file(args.output_path, "w") as fout:
             wtr = csv.writer(fout, delimiter="\t")
             wtr.writerow(["Prediction", "Target", "WER", "CER"])
             for (pred, target), wer, cer in zip(outputs, wers, cers):

@@ -152,7 +152,7 @@ def main(args: argparse.Namespace):
     sentences = [tokenizer.detokenize([int(t) for t in out]) for out in outputs]
     logger.info("Ended Inference, Start to save...")
 
-    with open(args.output_path, "w") as fout:
+    with open_file(args.output_path, "w") as fout:
         wtr = csv.writer(fout, delimiter="\t")
         wtr.writerow(["AudioPath", "DecodedSentence"])
         for audio_path, decoded_sentence in zip(dataset_files, sentences):

@@ -601,11 +601,43 @@ def main(cfg: TrainConfig):
 
 
 def _make_summary_writer(log_dir):
-    """TensorBoard writer when available (optional dependency)."""
+    """TensorBoard writer when available (optional dependency).
+
+    gs:// log dirs stage through a local temp dir and upload on flush via
+    the TF-free GCS client (reference wrote TB events straight to gs://
+    through the Keras TensorBoard callback + gfile; run/train.py:205-207).
+    """
+    from ..utils.io import is_remote
+
     try:
         from flax.metrics.tensorboard import SummaryWriter
+    except Exception:
+        return None
+    if not is_remote(log_dir):
+        try:
+            return SummaryWriter(log_dir)
+        except Exception:
+            return None
 
-        return SummaryWriter(log_dir)
+    import tempfile
+
+    from ..utils.io import copy_tree
+
+    local = tempfile.mkdtemp(prefix="srt-tb-")
+
+    class _RemoteWriter:
+        def __init__(self):
+            self._w = SummaryWriter(local)
+
+        def scalar(self, tag, value, step):
+            self._w.scalar(tag, value, step)
+
+        def flush(self):
+            self._w.flush()
+            copy_tree(local, log_dir)
+
+    try:
+        return _RemoteWriter()
     except Exception:
         return None
 

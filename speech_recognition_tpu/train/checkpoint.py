@@ -1,4 +1,4 @@
-"""Checkpoint IO (Orbax).
+"""Checkpoint IO (Orbax), local and gs://.
 
 Replaces Keras ModelCheckpoint/load_weights (reference run/train.py:152-154,
 208-212; run/evaluate.py:78).  Checkpoints are weights-only pytrees
@@ -6,13 +6,31 @@ Replaces Keras ModelCheckpoint/load_weights (reference run/train.py:152-154,
 mirroring the reference's naming scheme.  A separate converter
 (speech_recognition_tpu/compat/tf_checkpoint.py) loads the reference's TF2
 checkpoints into the same pytree layout.
+
+gs:// parity: the reference trained with ``--output-path gs://...`` and
+restored checkpoints remotely through tf.io.gfile (reference
+run/train.py:208-212, run/evaluate.py:78, utils.py:116-120).  Here remote
+checkpoints stage through a local temporary directory: save writes the
+orbax tree locally then uploads it file-by-file via utils.io (native GCS
+JSON-API client, no TF); restore downloads the tree then restores locally.
+``latest_checkpoint`` lists either os.listdir (local) or the object store
+(remote), ordering by the epoch number embedded in the templated name
+(``model-{epoch}epoch...``) with mtime/object-updated as the fallback, so
+``--auto-resume`` works against both backends.
 """
 
 import os
-from typing import Any, Optional
+import re
+import shutil
+import tempfile
+from typing import Any, List, Optional
 
 import jax
 import numpy as np
+
+from ..utils import io as uio
+
+_EPOCH_RX = re.compile(r"model-(\d+)epoch")
 
 
 def _checkpointer():
@@ -22,26 +40,90 @@ def _checkpointer():
 
 
 def save_weights(path: str, variables: Any) -> None:
-    """Save {'params': ..., 'batch_stats': ...} to ``path`` (a directory)."""
-    path = os.path.abspath(path)
-    _checkpointer().save(path, jax.tree_util.tree_map(np.asarray, variables), force=True)
+    """Save {'params': ..., 'batch_stats': ...} to ``path`` (a directory,
+    local or gs://)."""
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    if uio.is_remote(path):
+        staging = tempfile.mkdtemp(prefix="srt-ckpt-save-")
+        try:
+            local = os.path.join(staging, "ckpt")
+            _checkpointer().save(local, variables, force=True)
+            uio.copy_tree(local, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return
+    _checkpointer().save(os.path.abspath(path), variables, force=True)
 
 
 def restore_weights(path: str, template: Optional[Any] = None) -> Any:
-    """Restore a weights pytree; with ``template``, restores with matching
-    structure/dtypes (recommended)."""
-    import orbax.checkpoint as ocp
-
+    """Restore a weights pytree from a local or gs:// directory; with
+    ``template``, restores with matching structure/dtypes (recommended)."""
+    if uio.is_remote(path):
+        staging = tempfile.mkdtemp(prefix="srt-ckpt-restore-")
+        try:
+            local = os.path.join(staging, "ckpt")
+            uio.copy_tree(path, local)
+            return restore_weights(local, template)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     path = os.path.abspath(path)
     if template is not None:
-        restored = _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))
-    else:
-        restored = _checkpointer().restore(path)
-    return restored
+        return _checkpointer().restore(path, item=jax.tree_util.tree_map(np.asarray, template))
+    return _checkpointer().restore(path)
+
+
+def _latest_by_epoch(entries: List[str]) -> Optional[str]:
+    """Newest by the epoch number in the templated checkpoint name, when
+    every entry carries one (the normal case for our own output dirs)."""
+    parsed = [(m, e) for e in entries for m in [_EPOCH_RX.search(os.path.basename(e))] if m]
+    if len(parsed) == len(entries) and parsed:
+        return max(parsed, key=lambda p: int(p[0].group(1)))[1]
+    return None
+
+
+def _remote_latest(directory: str) -> Optional[str]:
+    """List immediate child 'directories' of a gs:// prefix; newest by epoch
+    number, falling back to the objects' ``updated`` timestamps."""
+    from ..utils import gcs
+
+    directory = directory.rstrip("/")
+    bucket, prefix = gcs._split(directory)
+    items = gcs.list_objects_meta(bucket, prefix + "/" if prefix else "")
+    children = {}  # immediate child name -> newest `updated` below it
+    strip = len(prefix) + 1 if prefix else 0
+    for item in items:
+        rel = item["name"][strip:]
+        if "/" not in rel:
+            continue  # plain file directly under the directory
+        child = rel.split("/", 1)[0]
+        ts = gcs.parse_rfc3339(item.get("updated", ""))
+        children[child] = max(children.get(child, 0.0), ts)
+    if not children:
+        return None
+    paths = [f"{directory}/{c}" for c in children]
+    by_epoch = _latest_by_epoch(paths)
+    if by_epoch:
+        return by_epoch
+    return f"{directory}/" + max(children, key=lambda c: (children[c], c))
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Return the newest checkpoint directory under ``directory``, if any."""
+    """Return the newest checkpoint directory under ``directory`` (local or
+    gs://), if any."""
+    if uio.is_remote(directory):
+        if uio._gcs_native() is not None:
+            return _remote_latest(directory)
+        gfile = uio._gfile()
+        if not gfile.exists(directory):
+            return None
+        entries = [
+            uio.path_join(directory, d.rstrip("/"))
+            for d in gfile.listdir(directory)
+            if gfile.isdir(uio.path_join(directory, d))
+        ]
+        if not entries:
+            return None
+        return _latest_by_epoch(entries) or sorted(entries)[-1]
     if not os.path.isdir(directory):
         return None
     entries = [
@@ -49,4 +131,6 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         for d in os.listdir(directory)
         if os.path.isdir(os.path.join(directory, d))
     ]
-    return max(entries, key=os.path.getmtime) if entries else None
+    if not entries:
+        return None
+    return _latest_by_epoch(entries) or max(entries, key=os.path.getmtime)

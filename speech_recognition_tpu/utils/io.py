@@ -94,3 +94,49 @@ def exists(path: str) -> bool:
             return gcs.exists(path)
         return _gfile().exists(path)
     return os.path.exists(path)
+
+
+def walk_files(directory: str) -> List[str]:
+    """All file paths under ``directory``, recursively (full paths).
+
+    For gs:// this is one objects.list over the prefix (zero-byte directory
+    marker objects are skipped); locally it is os.walk.
+    """
+    directory = directory.rstrip("/")
+    if is_remote(directory):
+        gcs = _gcs_native()
+        if gcs is not None:
+            from .gcs import _split  # noqa: local import to keep io TF-free
+
+            bucket, prefix = _split(directory)
+            return sorted(
+                f"gs://{bucket}/{name}"
+                for name in gcs.list_objects(bucket, prefix + "/")
+                if not name.endswith("/")
+            )
+        gfile = _gfile()
+        out = []
+        for root, _dirs, files in gfile.walk(directory):
+            out += [path_join(root, f) for f in files]
+        return sorted(out)
+    out = []
+    for root, _dirs, files in os.walk(directory):
+        out += [os.path.join(root, f) for f in files]
+    return sorted(out)
+
+
+def copy_tree(src: str, dst: str) -> None:
+    """Recursively copy the file tree at ``src`` to ``dst``; either side may
+    be local or gs://.  Replaces the Keras/gfile checkpoint upload path
+    (reference run/train.py:208-212 checkpointed straight to gs:// through
+    tf.io.gfile)."""
+    src = src.rstrip("/")
+    dst = dst.rstrip("/")
+    if not is_remote(dst):
+        os.makedirs(dst, exist_ok=True)
+    for f in walk_files(src):
+        rel = f[len(src) + 1 :]
+        target = path_join(dst, rel)
+        if not is_remote(target):
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+        copy(f, target)

@@ -19,6 +19,13 @@ from speech_recognition_tpu.utils import gcs, io
 
 class FakeGCSHandler(BaseHTTPRequestHandler):
     store = {}  # (bucket, name) -> bytes
+    updated = {}  # (bucket, name) -> RFC3339 timestamp (logical clock)
+    clock = [0]
+
+    @classmethod
+    def _stamp(cls, key):
+        cls.clock[0] += 1
+        cls.updated[key] = f"2024-01-01T00:00:00.{cls.clock[0]:06d}Z"
 
     def log_message(self, *a):
         pass
@@ -41,7 +48,7 @@ class FakeGCSHandler(BaseHTTPRequestHandler):
             if len(parts) == 5:  # list
                 prefix = qs.get("prefix", [""])[0]
                 items = [
-                    {"name": name}
+                    {"name": name, "updated": self.updated.get((b, name), "")}
                     for (b, name) in sorted(self.store)
                     if b == bucket and name.startswith(prefix)
                 ]
@@ -66,6 +73,7 @@ class FakeGCSHandler(BaseHTTPRequestHandler):
             bucket = parts[4]
             name = qs["name"][0]
             self.store[(bucket, name)] = body
+            self._stamp((bucket, name))
             return self._send(200, json.dumps({"name": name}).encode())
         # /storage/v1/b/{sb}/o/{so}/copyTo/b/{db}/o/{do}
         if "copyTo" in parts:
@@ -75,6 +83,7 @@ class FakeGCSHandler(BaseHTTPRequestHandler):
             if (sb, so) not in self.store:
                 return self._send(404, b"{}")
             self.store[(db, do)] = self.store[(sb, so)]
+            self._stamp((db, do))
             return self._send(200, b"{}")
         return self._send(404, b"{}")
 
@@ -82,6 +91,8 @@ class FakeGCSHandler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def fake_gcs(monkeypatch):
     FakeGCSHandler.store = {}
+    FakeGCSHandler.updated = {}
+    FakeGCSHandler.clock = [0]
     server = ThreadingHTTPServer(("127.0.0.1", 0), FakeGCSHandler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -137,6 +148,126 @@ def test_copy_remote_and_cross(fake_gcs, tmp_path):
 def test_missing_object_raises(fake_gcs):
     with pytest.raises(FileNotFoundError):
         gcs.read_bytes("gs://bkt/absent")
+
+
+def test_walk_files_and_copy_tree(fake_gcs, tmp_path):
+    src = tmp_path / "tree"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("A")
+    (src / "sub" / "b.txt").write_text("B")
+    io.copy_tree(str(src), "gs://bkt/up/tree")
+    assert io.walk_files("gs://bkt/up/tree") == [
+        "gs://bkt/up/tree/a.txt",
+        "gs://bkt/up/tree/sub/b.txt",
+    ]
+    # round-trip back down
+    dst = tmp_path / "down"
+    io.copy_tree("gs://bkt/up/tree", str(dst))
+    assert (dst / "a.txt").read_text() == "A"
+    assert (dst / "sub" / "b.txt").read_text() == "B"
+    # directory marker objects (gfile-parity makedirs) are not files
+    gcs.makedirs("gs://bkt/up/tree/empty")
+    assert "gs://bkt/up/tree/empty/" not in io.walk_files("gs://bkt/up/tree")
+
+
+def test_checkpoint_save_restore_gcs(fake_gcs):
+    """Orbax weights checkpoints stage through a temp dir to/from gs://
+    (parity: reference checkpointed to gs:// via gfile, run/train.py:208-212)."""
+    import numpy as np
+
+    from speech_recognition_tpu.train import restore_weights, save_weights
+
+    variables = {
+        "params": {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}},
+    }
+    save_weights("gs://bkt/run/models/model-1epoch-0.1234loss_0.5678acc", variables)
+    assert any(name.startswith("run/models/model-1epoch") for (_b, name) in fake_gcs)
+    restored = restore_weights(
+        "gs://bkt/run/models/model-1epoch-0.1234loss_0.5678acc", template=variables
+    )
+    np.testing.assert_array_equal(
+        restored["params"]["dense"]["kernel"], variables["params"]["dense"]["kernel"]
+    )
+
+
+def test_latest_checkpoint_gcs(fake_gcs):
+    from speech_recognition_tpu.train import latest_checkpoint
+
+    assert latest_checkpoint("gs://bkt/none/models") is None
+    # epoch-templated names win by epoch number regardless of write order
+    gcs.write_bytes("gs://bkt/run/models/model-10epoch-0.2loss_0.5acc/ckpt", b"x")
+    gcs.write_bytes("gs://bkt/run/models/model-2epoch-0.9loss_0.1acc/ckpt", b"x")
+    assert (
+        latest_checkpoint("gs://bkt/run/models")
+        == "gs://bkt/run/models/model-10epoch-0.2loss_0.5acc"
+    )
+    # non-templated names fall back to the objects' updated timestamps
+    gcs.write_bytes("gs://bkt/other/models/first/ckpt", b"x")
+    gcs.write_bytes("gs://bkt/other/models/second/ckpt", b"x")
+    assert latest_checkpoint("gs://bkt/other/models") == "gs://bkt/other/models/second"
+
+
+def test_train_cli_checkpoints_to_gcs(fake_gcs, tmp_path):
+    """Full e2e parity gate: ``train --output-path gs://...`` writes configs,
+    TB events, and per-epoch checkpoints remotely; ``--auto-resume`` restores
+    from the remote checkpoint; ``evaluate --model-path gs://...`` decodes
+    with the remote weights (reference run/train.py:208-212, run/evaluate.py:78)."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+    from tests.const import SP_MODEL_LIBRI, TEST_DATA_DIR, TEST_LAS_CONFIG, WAV_DATASET_PATH
+    import os
+
+    out = "gs://bkt/exp1"
+    args = [
+        "--data-config", os.path.join(TEST_DATA_DIR, "mini_data_config.yml"),
+        "--model-config", TEST_LAS_CONFIG,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--train-dataset-paths", WAV_DATASET_PATH,
+        "--dev-dataset-paths", WAV_DATASET_PATH,
+        "--train-dataset-size", "2",
+        "--output-path", out,
+        "--epochs", "1",
+        "--steps-per-epoch", "1",
+        "--learning-rate", "1e-3",
+        "--batch-size", "2",
+        "--dev-batch-size", "2",
+        "--shuffle-buffer-size", "1",
+        "--max-over-policy", "slice",
+        "--device", "CPU",
+        "--seed", "42",
+    ]
+    train_main(TrainConfig(**vars(train_parser.parse_args(args))))
+    names = {name for (_b, name) in fake_gcs}
+    assert "exp1/train_configs.txt" in names
+    assert "exp1/data-config.yml" in names
+    assert any(n.startswith("exp1/models/model-1epoch") for n in names)
+    assert any(n.startswith("exp1/logs/") for n in names)  # TB events uploaded
+
+    # resume: epoch 2 restores the remote epoch-1 checkpoint and writes epoch 2
+    idx = args.index("--epochs")
+    args[idx + 1] = "2"
+    train_main(TrainConfig(**vars(train_parser.parse_args(args + ["--auto-resume"]))))
+    names = {name for (_b, name) in fake_gcs}
+    assert any(n.startswith("exp1/models/model-2epoch") for n in names)
+
+    # evaluate from the remote checkpoint, report to a remote tsv
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.train import latest_checkpoint
+
+    ckpt = latest_checkpoint("gs://bkt/exp1/models")
+    assert ckpt and "model-2epoch" in ckpt
+    eval_main(eval_parser.parse_args([
+        "--data-config", os.path.join(TEST_DATA_DIR, "mini_data_config.yml"),
+        "--model-config", TEST_LAS_CONFIG,
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", ckpt,
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", "gs://bkt/exp1/eval.tsv",
+        "--batch-size", "2",
+        "--device", "CPU",
+    ]))
+    report = fake_gcs[("bkt", "exp1/eval.tsv")].decode()
+    assert report.startswith("Prediction\tTarget")
 
 
 def test_dataset_reads_from_gcs(fake_gcs):
