@@ -21,11 +21,21 @@ broken op; forward-type grouped convs partition correctly.
   reductions, no grouped-grad conv anywhere, so SPMD partitioning is just
   elementwise + psum and stays exact on any mesh.
 
+The workaround is only needed where the partitioner runs: on a single
+device the plain grouped-conv autodiff is exact AND keeps the whole
+backward on the MXU, so ``depthwise_conv1d`` auto-selects it there
+(``spmd_safe=None`` -> devices > 1; ``SRT_SPMD_SAFE_DWCONV=0/1``
+overrides).  The tap-sum accumulates in f32 (``jnp.sum(dtype=f32)``) —
+bf16 products, f32 accumulation, matching the conv's own MXU semantics
+over the ~B*T-term reduction.
+
 Used by the Conformer convolution module (models/conformer.py) and through
 it the Transducer encoder.  Gradient equivalence vs plain autodiff is
 pinned in tests/test_dw_conv.py, sharded-mesh equivalence in
 tests/test_parallel.py.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,8 +61,28 @@ def _forward(x, kernel):
 
 
 @jax.custom_vjp
-def depthwise_conv1d(x, kernel):
-    """[B, T, C] x [K, 1, C] -> [B, T, C], SAME padding, stride 1."""
+def _spmd_safe_conv(x, kernel):
+    return _forward(x, kernel)
+
+
+def _auto_spmd_safe() -> bool:
+    env = os.environ.get("SRT_SPMD_SAFE_DWCONV")
+    if env is not None:
+        return env == "1"
+    return len(jax.devices()) > 1
+
+
+def depthwise_conv1d(x, kernel, *, spmd_safe=None):
+    """[B, T, C] x [K, 1, C] -> [B, T, C], SAME padding, stride 1.
+
+    ``spmd_safe``: True -> custom-VJP tap-sum kernel grad (exact on any
+    mesh); False -> plain XLA autodiff (fastest, single-device only);
+    None -> auto (safe whenever more than one device is visible).
+    """
+    if spmd_safe is None:
+        spmd_safe = _auto_spmd_safe()
+    if spmd_safe:
+        return _spmd_safe_conv(x, kernel)
     return _forward(x, kernel)
 
 
@@ -78,13 +108,15 @@ def _bwd(res, dy):
         dimension_numbers=("NTC", "TIO", "NTC"),
     )
 
-    # dkernel[k, 0, c] = sum_{b,t} xp[b, t+k, c] * dy[b, t, c]
+    # dkernel[k, 0, c] = sum_{b,t} xp[b, t+k, c] * dy[b, t, c]; f32
+    # accumulation over the B*T-term reduction (bf16 products would lose
+    # the conv's MXU f32-accumulate semantics under mixed precision)
     T = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
     dk = jnp.stack(
-        [jnp.sum(xp[:, k : k + T, :] * dy, axis=(0, 1)) for k in range(K)]
+        [jnp.sum(xp[:, k : k + T, :] * dy, axis=(0, 1), dtype=jnp.float32) for k in range(K)]
     )
     return dx, dk[:, None, :].astype(kernel.dtype)
 
 
-depthwise_conv1d.defvjp(_fwd, _bwd)
+_spmd_safe_conv.defvjp(_fwd, _bwd)

@@ -117,22 +117,21 @@ def shard_batch(batch, mesh: Mesh, multihost: Optional[bool] = None):
     return jax.tree_util.tree_map(_put, batch)
 
 
-# parameters whose last axis matches these names shard over the model axis
-_TP_PATTERNS = (
-    r"feedforward/kernel$",        # LAS vocab projection
-    r"fully_connected/kernel$",    # DS2 / Conformer vocab projection
-    r"joint_kernel$",              # Transducer joint -> vocab projection
-    r"embedding/embedding$",       # token embedding (vocab rows)
+# tensor-parallel parameter placements: explicit (pattern, spec) pairs so
+# the orientation travels with the pattern (order carries no semantics)
+_TP_SPECS = (
+    (r"feedforward/kernel$", P(None, "model")),      # LAS vocab projection (columns)
+    (r"fully_connected/kernel$", P(None, "model")),  # DS2 / Conformer vocab projection
+    (r"joint_kernel$", P(None, "model")),            # Transducer joint -> vocab projection
+    (r"embedding/embedding$", P("model", None)),     # token embedding (vocab ROWS)
 )
 
 
 def param_spec(path: str, param) -> P:
     """Tensor-parallel PartitionSpec for a parameter path, replicated default."""
-    if re.search(_TP_PATTERNS[-1], path):
-        return P("model", None)  # shard vocab rows of the embedding
-    for pat in _TP_PATTERNS[:-1]:
+    for pat, spec in _TP_SPECS:
         if re.search(pat, path):
-            return P(None, "model")  # shard vocab columns of the projections
+            return spec
     return P(*([None] * getattr(param, "ndim", 0)))
 
 

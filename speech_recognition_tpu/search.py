@@ -384,9 +384,17 @@ def ctc_beam_decode(log_probs: jnp.ndarray, blank_index: int, beam_size: int):
 
     Per-frame candidates: each beam may stay (blank extension or repeated
     last token, probabilities merged) or expand with one of the top-P
-    non-blank tokens; the K best-scoring candidates survive.  Equal prefixes
-    reached from different beams are not merged (deviation from TF's CPU
-    decoder; the dominant same-beam merge IS handled analytically).
+    non-blank tokens; the K best-scoring candidates survive.  Cross-beam
+    merging matches TF's CPU decoder (reference search.py:279-281 uses
+    tf.nn.ctc_beam_search_decoder semantics): an expand candidate whose
+    resulting prefix equals an EXISTING beam folds its mass into that
+    beam's stay candidate and leaves the expand set.  Because the merge
+    keeps live beam prefixes unique, two expand candidates can never
+    collide with each other, so this IS the full prefix merge: with K
+    covering the reachable-prefix space the result is exactly the
+    exhaustive host prefix-beam (pinned by the randomized oracle tests in
+    tests/test_search.py); under pruning (small K) only mass that fell
+    off the beam a frame earlier is lost, same as any pruned decoder.
 
     :return: (tokens [B, beam, T] 0-padded, total log-prob [B, beam])
     """
@@ -624,13 +632,17 @@ class TransducerSearcher:
         restricted to a fixed per-frame expansion budget, the static-shape
         form the n-best literature calls TSD-with-max-sym-exp).
 
-        Per encoder frame, every live hypothesis is expanded at most
-        ``max_symbols`` times: each expansion round scores the joint once
-        ([B, K, V] — one MXU matmul), moves blank/EOS continuations into the
-        frame's *done* pool, and keeps the top-K label extensions as the
-        *active* pool for the next round.  After the budget the active pool
-        is forced to take blank.  The whole search is one ``lax.scan`` over
-        frames with [B, K, ...] carries — fixed shapes, no host round-trips.
+        Per encoder frame, ``max_symbols`` counts JOINT EVALUATIONS, not
+        emitted labels: each of the ``max_symbols`` rounds scores the joint
+        once ([B, K, V] — one MXU matmul) and moves blank/EOS continuations
+        into the frame's *done* pool, but only the first ``max_symbols - 1``
+        rounds also keep the top-K label extensions as the next *active*
+        pool — the final round is blank/EOS-only, so at most
+        ``max_symbols - 1`` labels are emitted per frame (the CLI default 4
+        allows 3 labels/frame; the max_sym_exp convention in the n-best
+        literature counts labels, i.e. equals ``max_symbols - 1`` here).
+        The whole search is one ``lax.scan`` over frames with [B, K, ...]
+        carries — fixed shapes, no host round-trips.
 
         Scores are raw single-alignment log-probabilities (no length
         normalization, no prefix recombination — hypotheses that emit the

@@ -4,6 +4,7 @@ beam_size=1 beam search must match greedy search for both model families."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_recognition_tpu.models import LAS, DeepSpeech2
 from speech_recognition_tpu.search import DeepSpeechSearcher, LASSearcher
@@ -151,6 +152,108 @@ def test_ctc_beam_matches_tf_oracle_on_confident_logits():
     a[:, : theirs.shape[1]] = theirs
     o[:, : ours.shape[1]] = ours
     np.testing.assert_array_equal(o, a)
+
+
+def _host_prefix_beam_exhaustive(lp, blank):
+    """Exact CTC prefix posterior: the standard pb/pnb prefix-beam recursion
+    (Hannun et al. 2014) over ALL prefixes — no beam pruning, no candidate
+    pruning, full merging by prefix identity.  Returns [(score, prefix)]
+    sorted best-first.  Host oracle for ctc_beam_decode."""
+    import math
+    from collections import defaultdict
+
+    NEG = -math.inf
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    T, V = lp.shape
+    beams = {(): (0.0, NEG)}  # prefix -> (p_blank, p_nonblank), log domain
+    for t in range(T):
+        nxt = defaultdict(lambda: (NEG, NEG))
+        for prefix, (pb, pnb) in beams.items():
+            total = lse(pb, pnb)
+            npb, npnb = nxt[prefix]
+            npb = lse(npb, total + lp[t, blank])  # blank keeps the prefix
+            if prefix:  # repeated last token also keeps it (from pnb only)
+                npnb = lse(npnb, pnb + lp[t, prefix[-1]])
+            nxt[prefix] = (npb, npnb)
+            for c in range(V):
+                if c == blank:
+                    continue
+                ext = prefix + (c,)
+                src = pb if (prefix and c == prefix[-1]) else total
+                if src == NEG:
+                    continue  # unreachable extension (e.g. repeat with no blank mass)
+                epb, epnb = nxt[ext]
+                nxt[ext] = (epb, lse(epnb, src + lp[t, c]))
+        # drop prefixes with no mass at all (created only as merge targets)
+        beams = {p: v for p, v in nxt.items() if lse(*v) > NEG}
+    return sorted(
+        ((lse(pb, pnb), p) for p, (pb, pnb) in beams.items()), key=lambda s: -s[0]
+    )
+
+
+@pytest.mark.parametrize("seed,V,T", [(0, 3, 5), (1, 4, 5), (2, 4, 6), (3, 5, 5), (4, 3, 6)])
+def test_ctc_beam_matches_exhaustive_oracle_when_k_covers_space(seed, V, T):
+    """With K >= the reachable-prefix count, the device prefix beam IS the
+    exhaustive host prefix-beam — merge paths included — on arbitrary
+    (near-uniform, unpeaked) logits.  Randomized over seeds/shapes."""
+    from speech_recognition_tpu.search import ctc_beam_decode
+
+    rng = np.random.default_rng(seed)
+    blank = 0
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.standard_normal((T, V)).astype(np.float32))),
+        np.float64,
+    )
+    oracle = _host_prefix_beam_exhaustive(lp, blank)
+
+    K = sum((V - 1) ** l for l in range(T + 1))  # every possible prefix
+    tokens, scores = ctc_beam_decode(jnp.asarray(lp, jnp.float32)[None], blank, K)
+    tokens, scores = np.asarray(tokens)[0], np.asarray(scores, np.float64)[0]
+
+    device = {}
+    for k in range(K):
+        if scores[k] < -1e29:
+            continue  # dead beam slot
+        prefix = tuple(int(x) for x in tokens[k] if x != 0)
+        assert prefix not in device, f"duplicate live prefix {prefix}"
+        device[prefix] = scores[k]
+
+    # every oracle prefix present with the same total log-prob
+    assert len(device) == len(oracle)
+    for score, prefix in oracle:
+        assert prefix in device, f"missing prefix {prefix}"
+        np.testing.assert_allclose(device[prefix], score, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ctc_beam_pruned_is_lower_bound_of_oracle(seed):
+    """A pruned beam (small K) can only LOSE probability mass: each returned
+    prefix's score is <= its exact posterior, and the top-1 score is <= the
+    oracle's best."""
+    from speech_recognition_tpu.search import ctc_beam_decode
+
+    rng = np.random.default_rng(100 + seed)
+    blank, V, T, K = 0, 5, 6, 3
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.standard_normal((T, V)).astype(np.float32))),
+        np.float64,
+    )
+    exact = {p: s for s, p in _host_prefix_beam_exhaustive(lp, blank)}
+    tokens, scores = ctc_beam_decode(jnp.asarray(lp, jnp.float32)[None], blank, K)
+    tokens, scores = np.asarray(tokens)[0], np.asarray(scores, np.float64)[0]
+    best_exact = max(exact.values())
+    for k in range(K):
+        prefix = tuple(int(x) for x in tokens[k] if x != 0)
+        assert scores[k] <= exact[prefix] + 1e-4
+    assert scores[0] <= best_exact + 1e-4
 
 
 def test_deepspeech_searcher_end_to_end_shapes():

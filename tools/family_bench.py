@@ -1,0 +1,179 @@
+"""Per-family train-step bench: LAS / DS2 / Conformer / Transducer in ONE
+bounded run, written to BENCH_FAMILIES.json at the repo root.
+
+Purpose (VERDICT round-2 #3/#4): make non-LAS perf driver-visible round
+over round, and replace hand FLOP estimates with the rigorous method
+bench.py uses — ``lower().compile().cost_analysis()`` flops -> MFU against
+the chip's peak bf16 FLOP/s.  Caveat inherited from bench.py:107-117:
+cost_analysis counts a lax.scan body ONCE, so families with in-scan
+matmuls (LAS/DS2 recurrences, transducer joint planes) report a LOWER
+BOUND on flops and therefore on MFU.
+
+Shapes: the framework bench shapes (B=128, T=1024 audio frames, 16K
+vocab), each family at its shipped small config (resources/configs/
+{las_small,deepspeech,conformer_small,transducer_small}.yml sizes).
+
+Run: python tools/family_bench.py            (real TPU; bound >= 3000 s)
+     FAMILIES=conformer,transducer python tools/family_bench.py  (subset)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bench import _flops_per_step, _peak_flops
+from speech_recognition_tpu.train import TrainState, linear_warmup_decay, make_train_step
+
+B, T, V = 128, 1024, 16000
+rng = jax.random.PRNGKey(0)
+tx = optax.adam(linear_warmup_decay(10000, 2e-4, 1e-5))
+on_tpu = jax.default_backend() == "tpu"
+dtype = jnp.bfloat16 if on_tpu else jnp.float32
+REPS = int(os.environ.get("FAMILY_REPS", 3))
+
+
+def _ctc_tokens():
+    return jnp.concatenate(
+        [jax.random.randint(rng, (B, 40), 1, V), jnp.zeros((B, 24), jnp.int32)], axis=1
+    )
+
+
+def build_las():
+    from speech_recognition_tpu.models import LAS
+
+    model = LAS(
+        rnn_type="lstm", vocab_size=V, encoder_hidden_dim=256, decoder_hidden_dim=256,
+        num_encoder_layers=3, num_decoder_layers=2, dropout=0.15,
+        teacher_forcing_rate=0.99, dtype=dtype,
+    )
+    audio = jax.random.normal(rng, (B, T, 80, 3), jnp.float32)
+    tokens = jax.random.randint(rng, (B, 128), 1, V)
+    variables = model.init({"params": rng}, (audio, tokens[:, :-1]))
+    audio = audio.astype(dtype)
+    step = make_train_step(
+        model, model.get_loss_fn(), model.get_metrics(), needs_teacher_forcing_rng=True
+    )
+    return model, variables, step, (audio, tokens[:, :-1]), tokens[:, 1:]
+
+
+def build_deepspeech2():
+    from speech_recognition_tpu.models import DeepSpeech2
+
+    model = DeepSpeech2(
+        3, (32, 32, 96), ((41, 11), (21, 11), (21, 11)), ((2, 2), (2, 1), (2, 1)),
+        "gru", 7, 128, 0.1, 0.0, V, 14, dtype=dtype,
+    )
+    audio = jax.random.normal(rng, (B, T, 80, 1), jnp.float32)
+    tokens = _ctc_tokens()
+    variables = model.init({"params": rng}, audio)
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics())
+    return model, variables, step, audio, tokens
+
+
+def build_conformer():
+    from speech_recognition_tpu.models import Conformer
+
+    model = Conformer(
+        vocab_size=V, encoder_dim=256, num_layers=16, num_attention_heads=4,
+        conv_kernel_size=32, ffn_expansion=4, dropout=0.1,
+        subsample_channels=(128, 128), blank_index=14, dtype=dtype,
+    )
+    audio = jax.random.normal(rng, (B, T, 80, 1), dtype)
+    tokens = _ctc_tokens()
+    variables = model.init({"params": rng}, audio)
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics())
+    return model, variables, step, audio, tokens
+
+
+def build_transducer():
+    from speech_recognition_tpu.models import Transducer
+
+    model = Transducer(
+        vocab_size=V, encoder_dim=256, num_encoder_layers=16, num_attention_heads=4,
+        conv_kernel_size=32, ffn_expansion=4, subsample_channels=(128, 128),
+        pred_dim=320, num_pred_layers=1, joint_dim=320, dropout=0.1, dtype=dtype,
+    )
+    audio = jax.random.normal(rng, (B, T, 80, 3), dtype)
+    # libri-shaped labels: ~40 real sentencepiece tokens + pad to 64
+    tokens = _ctc_tokens()
+    model_input, y_true = (audio, tokens[:, :-1]), tokens[:, 1:]
+    variables = model.init({"params": rng}, model_input)
+    step = make_train_step(model, model.get_loss_fn(), model.get_metrics())
+    return model, variables, step, model_input, y_true
+
+
+BUILDERS = {
+    "las": build_las,
+    "deepspeech2": build_deepspeech2,
+    "conformer": build_conformer,
+    "transducer": build_transducer,
+}
+
+
+def measure(name, builder):
+    model, variables, step, model_input, y_true = builder()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    state = TrainState.create(dict(variables), tx)
+    t0 = time.perf_counter()
+    compiled = step.lower(state, model_input, y_true, rng).compile()
+    compile_s = time.perf_counter() - t0
+    flops = _flops_per_step(compiled)
+    print(f"[{name}] {n_params/1e6:.1f} M params, compile {compile_s:.1f} s", flush=True)
+
+    def chain(state, n, seed):
+        for i in range(n):
+            state, metrics = compiled(state, model_input, y_true, jax.random.fold_in(rng, seed + i))
+        return state, float(metrics["loss"])
+
+    state, l0 = chain(state, 1, 0)
+    best = np.inf
+    for rep in range(REPS):
+        t0 = time.perf_counter(); state, _ = chain(state, 1, 100 + rep); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); state, _ = chain(state, 8, 200 + 10 * rep); t8 = time.perf_counter() - t0
+        ms = (t8 - t1) / 7 * 1e3
+        best = min(best, ms)
+        print(f"[{name}] rep{rep}: {ms:.1f} ms/step ({B / ((t8 - t1) / 7):.0f} utt/s)", flush=True)
+
+    peak = _peak_flops(jax.devices()[0])
+    mfu = round(flops / (best / 1e3) / peak, 4) if flops and peak else None
+    out = {
+        "step_ms": round(best, 2),
+        "utt_per_s": round(B / (best / 1e3), 1),
+        "params_m": round(n_params / 1e6, 2),
+        "flops_per_step": flops,
+        "mfu_lower_bound": mfu,
+        "loss0": round(l0, 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(f"[{name}] best {best:.1f} ms/step, MFU>= {mfu}", flush=True)
+    return out
+
+
+def main():
+    which = os.environ.get("FAMILIES", ",".join(BUILDERS)).split(",")
+    device = jax.devices()[0]
+    results = {
+        "device": getattr(device, "device_kind", str(device)),
+        "batch": B,
+        "audio_frames": T,
+        "families": {},
+    }
+    for name in which:
+        results["families"][name] = measure(name, BUILDERS[name])
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_FAMILIES.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

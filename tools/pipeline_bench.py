@@ -13,7 +13,14 @@ Stages reported:
   full          + delta_accelerate + padded_batch(B=128, static shapes)
   full+prefetch same, consumed through prefetch_stream (the train-loop setup)
 
+A worker-count sweep (--sweep-workers "1,2,4,8,16") runs the
+decode+features stage at each pool size and prints the utt/s curve —
+the scaling evidence for the "scales with cores" claim (on a 1-core host
+the curve shows where threading stops paying: IO overlap keeps helping
+past 1 worker, then GIL/CPU contention flattens it).
+
 Usage: python tools/pipeline_bench.py [--examples 10000] [--workers 16]
+       python tools/pipeline_bench.py --examples 4000 --sweep-workers 1,2,4,8,16
 """
 
 import argparse
@@ -33,6 +40,8 @@ def main():
     ap.add_argument("--examples", type=int, default=10000)
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 8)
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--sweep-workers", default=None,
+                    help="comma list of pool sizes; sweeps the decode+features stage")
     args = ap.parse_args()
 
     from speech_recognition_tpu.configs import DataConfig
@@ -83,9 +92,25 @@ def main():
             results[name] = utts / dt
             print(f"{name:14} {utts:6d} utts in {dt:6.2f}s = {utts / dt:8.0f} utt/s")
 
-        run("decode", get_dataset(tsv_path, "wav", 16000, tokenizer, num_workers=args.workers))
-
         feat_map = lambda a, t: (feature_fn(a), t)
+
+        if args.sweep_workers:
+            sweep = {}
+            for w in [int(x) for x in args.sweep_workers.split(",")]:
+                t0 = time.time()
+                n = sum(
+                    1
+                    for _ in get_dataset(
+                        tsv_path, "wav", 16000, tokenizer, num_workers=w, map_fn=feat_map
+                    )
+                )
+                rate = n / (time.time() - t0)
+                sweep[w] = round(rate, 1)
+                print(f"decode+feat workers={w:3d}: {rate:8.0f} utt/s", flush=True)
+            print(json.dumps({"examples": args.examples, "sweep_decode_feat": sweep}))
+            return
+
+        run("decode", get_dataset(tsv_path, "wav", 16000, tokenizer, num_workers=args.workers))
         run(
             "decode+feat",
             get_dataset(tsv_path, "wav", 16000, tokenizer, num_workers=args.workers, map_fn=feat_map),
