@@ -143,6 +143,30 @@ class Transducer(ModelProto):
     def get_loss_fn(self):
         blank, pad = self.blank_index, self.pad_index
 
+        def _planes(outputs, ids):
+            """Fused Pallas joint (logits never touch HBM; ops/pallas/
+            transducer_kernel.py, 2657 -> see PERF round-14) when supported,
+            else the XLA scan.  SRT_FUSED_JOINT=0 forces the scan."""
+            import os
+
+            from ..ops.pallas.transducer_kernel import (
+                fused_joint_planes,
+                joint_planes_supported,
+            )
+
+            args = (
+                outputs["enc_proj"],
+                outputs["pred_proj"],
+                outputs["joint_kernel"],
+                outputs["joint_bias"],
+                ids,
+            )
+            if os.environ.get("SRT_FUSED_JOINT", "1") == "1" and joint_planes_supported(
+                outputs["enc_proj"], outputs["pred_proj"], outputs["joint_kernel"], ids
+            ):
+                return fused_joint_planes(blank, *args)
+            return joint_log_planes(blank, *args)
+
         def loss_fn(y_true, outputs):
             """Label-length-normalized RNN-T NLL, averaged over real rows
             (same reduction contract as measure.ctc_loss: all-pad rows are
@@ -158,14 +182,7 @@ class Transducer(ModelProto):
             is excluded."""
             label_lens = jnp.maximum(jnp.sum(y_true != pad, axis=-1) - 1, 0).astype(jnp.int32)
             ids = jnp.where(y_true == pad, 0, y_true)[:, :-1]
-            lpb, lpe = joint_log_planes(
-                blank,
-                outputs["enc_proj"],
-                outputs["pred_proj"],
-                outputs["joint_kernel"],
-                outputs["joint_bias"],
-                ids,
-            )
+            lpb, lpe = _planes(outputs, ids)
             frame_lens = jnp.maximum(outputs["frame_lens"], 1)
             per_seq = transducer_loss(lpb, lpe, frame_lens, label_lens)
             valid = label_lens > 0

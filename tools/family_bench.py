@@ -160,15 +160,20 @@ def measure(name, builder):
 def main():
     which = os.environ.get("FAMILIES", ",".join(BUILDERS)).split(",")
     device = jax.devices()[0]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_FAMILIES.json")
     results = {
         "device": getattr(device, "device_kind", str(device)),
         "batch": B,
         "audio_frames": T,
         "families": {},
     }
+    if os.path.exists(path):  # subset runs update the committed artifact
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("batch") == B and prev.get("audio_frames") == T:
+            results["families"].update(prev.get("families", {}))
     for name in which:
         results["families"][name] = measure(name, BUILDERS[name])
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_FAMILIES.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
