@@ -16,6 +16,7 @@ Scoring parity with the reference:
   blank_index is passed straight to the decoder).
 """
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -668,6 +669,65 @@ class TransducerSearcher:
         dt = enc_proj.dtype
         NEG = jnp.float32(-1e30)
 
+        # ---- fused vocab-projection + top-k + logsumexp kernel for the
+        # joint rounds: the in-scan lax.top_k over V=16K dominated TSD cost
+        # (7.1 s/call at beam 4 — PERF round-14; same pathology the LAS
+        # beam hit, ops/pallas/topk_kernel.py docstring).  Over-fetches
+        # k_ext = fanout+3 winners so blank/eos/pad can be masked out
+        # post-hoc.  SRT_FUSED_TSD=0 reverts to the XLA path.
+        from .ops.pallas.topk_kernel import vocab_topk_pallas, vocab_topk_pallas_supported
+
+        kv = min(K, self.model.vocab_size)  # label fanout per hypothesis
+        k_ext = kv + 3
+        fast = None
+        Jp = (J + 127) // 128 * 128  # kernel wants a 128-multiple H; the
+        # joint dim is 320, so hid/W zero-pad to 384 (same logits)
+        if os.environ.get("SRT_FUSED_TSD", "1") == "1" and k_ext <= 16:
+            hid_probe = jax.ShapeDtypeStruct((B * K, Jp), dt)
+            wo_p = jnp.pad(wo, ((0, Jp - J), (0, 0)))
+            if vocab_topk_pallas_supported(hid_probe, wo_p, k_ext):
+                be = jnp.array([self.model.blank_index, self.eos_id])
+                fast = (wo_p, wo[:, be].astype(dt), bo[be].astype(jnp.float32))
+
+        def joint_scores(enc_t, c_g):
+            """One joint evaluation for every live hypothesis:
+            (blank_lp, eos_lp, label top-k lp, label top-k ids)."""
+            hid = jnp.tanh(enc_t[:, None, :] + c_g)  # [B, K, J] dt
+            if fast is not None:
+                wo_pad, wo_be, bo_be = fast
+                rows = hid.reshape(B * K, J)
+                rows_p = jnp.pad(rows, ((0, 0), (0, Jp - J))) if Jp != J else rows
+                vals, idx, lse_r = vocab_topk_pallas(rows_p, wo_pad, bo, k_ext)
+                lse = lse_r.reshape(B, K)
+                zbe = (
+                    jax.lax.dot_general(
+                        rows, wo_be, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bo_be
+                ).reshape(B, K, 2)
+                blank_lp = zbe[..., 0] - lse
+                eos_lp = zbe[..., 1] - lse
+                lab_lp = vals.reshape(B, K, k_ext) - lse[:, :, None]
+                ids_k = idx.reshape(B, K, k_ext)
+                ban = (ids_k == self.model.blank_index) | (ids_k == self.eos_id)
+                if self.pad_id != self.model.blank_index:
+                    ban = ban | (ids_k == self.pad_id)
+                return blank_lp, eos_lp, jnp.where(ban, NEG, lab_lp), ids_k
+            z = hid @ wo + bo  # [B, K, V] f32
+            lsm = jax.nn.log_softmax(z.astype(jnp.float32), axis=-1)
+            lab = lsm.at[..., self.model.blank_index].set(NEG)
+            lab = lab.at[..., self.eos_id].set(NEG)
+            if self.pad_id != self.model.blank_index:
+                lab = lab.at[..., self.pad_id].set(NEG)
+            top_lp, top_id = jax.lax.top_k(lab, kv)  # [B, K, kv]
+            return (
+                lsm[..., self.model.blank_index],
+                lsm[..., self.eos_id],
+                top_lp,
+                top_id.astype(jnp.int32),
+            )
+
         # beam slot 0 holds the BOS hypothesis; the rest start dead
         g0, st0 = self._pred_step(jnp.full((B,), self.bos_id, jnp.int32),
                                   tuple((jnp.zeros((B, H), dt), jnp.zeros((B, H), dt)) for _ in cells),
@@ -697,14 +757,13 @@ class TransducerSearcher:
             d = None
 
             for e in range(max_symbols):
-                z = jnp.tanh(enc_t[:, None, :] + c_g) @ wo + bo  # [B, K, V] f32
-                lsm = jax.nn.log_softmax(z.astype(jnp.float32), axis=-1)
+                blank_lp, eos_lp, top_lp, top_id = joint_scores(enc_t, c_g)
                 live = frame_on[:, None] & ~c_fin & (c_score > NEG / 2)
 
                 # blank finishes the frame; EOS finishes the hypothesis;
                 # dead-frame / finished hyps carry unchanged (score + 0)
-                blank_sc = c_score + jnp.where(live, lsm[..., self.model.blank_index], 0.0)
-                eos_sc = jnp.where(live, c_score + lsm[..., self.eos_id], NEG)
+                blank_sc = c_score + jnp.where(live, blank_lp, 0.0)
+                eos_sc = jnp.where(live, c_score + eos_lp, NEG)
                 cand_score = jnp.concatenate([blank_sc, eos_sc], axis=1)      # [B, 2K]
                 cand_fin = jnp.concatenate([c_fin, jnp.ones_like(c_fin)], axis=1)
                 if d is not None:
@@ -733,19 +792,15 @@ class TransducerSearcher:
                 if e == max_symbols - 1:
                     break  # budget exhausted: remaining actives were forced blank above
 
-                # label extensions -> new active pool
-                lab = lsm.at[..., self.model.blank_index].set(NEG)
-                lab = lab.at[..., self.eos_id].set(NEG)
-                if self.pad_id != self.model.blank_index:
-                    lab = lab.at[..., self.pad_id].set(NEG)
+                # label extensions -> new active pool (top_lp/top_id hold
+                # the per-hypothesis label candidates, blank/eos/pad masked)
                 can_lab = live & (c_u < L)
-                kv = min(K, lab.shape[-1])  # per-hyp label fanout
-                top_lp, top_id = jax.lax.top_k(lab, kv)  # [B, K, kv]
+                kw = top_lp.shape[-1]  # kv (XLA) or k_ext (fused kernel)
                 lab_sc = jnp.where(can_lab[:, :, None], c_score[:, :, None] + top_lp, NEG)
-                n_score, flat = jax.lax.top_k(lab_sc.reshape(B, K * kv), K)
-                parent = flat // kv
+                n_score, flat = jax.lax.top_k(lab_sc.reshape(B, K * kw), K)
+                parent = flat // kw
                 n_tok = jnp.take_along_axis(
-                    top_id.reshape(B, K * kv), flat, axis=1).astype(jnp.int32)  # [B, K]
+                    top_id.reshape(B, K * kw), flat, axis=1).astype(jnp.int32)  # [B, K]
                 n_u = gather(c_u, parent)
                 n_tokens = gather(c_tokens, parent)
                 write = jnp.arange(L)[None, None, :] == n_u[:, :, None]
