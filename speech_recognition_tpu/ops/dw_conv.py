@@ -69,7 +69,19 @@ def _auto_spmd_safe() -> bool:
     env = os.environ.get("SRT_SPMD_SAFE_DWCONV")
     if env is not None:
         return env == "1"
-    return len(jax.devices()) > 1
+    if len(jax.devices()) == 1:
+        return False  # no partitioner, no bug
+    # the grouped-grad mis-partitioning needs a mesh with MORE THAN ONE
+    # nontrivial axis (the grad comes back scaled by the sizes of the axes
+    # the operands aren't sharded over); a pure data-parallel mesh is exact
+    # (pinned in tests/test_dw_conv.py::test_raw_grad_exact_on_single_axis_mesh),
+    # so the common multi-chip dp case keeps the all-MXU backward
+    from ..parallel.mesh import get_active_mesh
+
+    mesh = get_active_mesh()
+    if mesh is None:
+        return True  # unknown sharding context: stay safe
+    return sum(1 for s in mesh.devices.shape if s > 1) > 1
 
 
 def depthwise_conv1d(x, kernel, *, spmd_safe=None):

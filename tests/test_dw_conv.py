@@ -76,6 +76,44 @@ def test_sharded_kernel_grad_exact_where_raw_conv_breaks():
         )
 
 
+def test_raw_grad_exact_on_single_axis_mesh():
+    """Precondition of the auto gate's single-axis fast path: the XLA
+    grouped-grad bug needs >1 nontrivial mesh axes — on a pure 'data' mesh
+    the plain autodiff kernel grad is exact.  If this ever fails, the gate
+    in ops/dw_conv.py _auto_spmd_safe must drop the mesh inspection."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x = jax.random.uniform(jax.random.PRNGKey(9), (8, 20, 16))
+    k = jax.random.normal(jax.random.PRNGKey(10), (5, 1, 16)) * 0.3
+
+    def loss(k, x):
+        return jnp.sum(_raw(x, k) ** 2)
+
+    gk_ref = jax.jit(jax.grad(loss))(k, x)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    gk = jax.jit(jax.grad(loss))(k, xs)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_gate_follows_active_mesh():
+    """spmd_safe=None: fast autodiff on a single-axis active mesh, safe
+    tap-sum on a multi-axis one (and when no mesh is registered)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from speech_recognition_tpu.ops.dw_conv import _auto_spmd_safe
+    from speech_recognition_tpu.parallel.mesh import active_mesh
+
+    assert _auto_spmd_safe()  # multi-device, no registered mesh: stay safe
+    with active_mesh(Mesh(np.array(jax.devices()[:8]), ("data",))):
+        assert not _auto_spmd_safe()
+    with active_mesh(Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))):
+        assert _auto_spmd_safe()
+    with active_mesh(Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))):
+        # trivial second axis: partitioner can't mis-scale over size-1 axes
+        assert not _auto_spmd_safe()
+
+
 def test_explicit_spmd_safe_paths_agree():
     """spmd_safe=False (plain autodiff) and True (custom VJP) give the same
     grads on an unsharded input — the gate only changes the backward route."""
