@@ -48,9 +48,16 @@ def _layout(T: int, U1: int, J: int):
     """(U1p, TF, L, Tp, S, JA_base, JA) for the transposed tiling.  Tp pads
     T up to a TF multiple (the encoder's T' is odd at bench shapes — 255);
     pad frames carry zero enc rows and zero cotangents, so they cost one
-    wasted matmul column group and contribute nothing to any gradient."""
+    wasted matmul column group and contribute nothing to any gradient.
+
+    SRT_JOINT_LANES (default 128) sets the lane target: 256 packs FOUR
+    frames per grid step (U1p=64), halving grid count at ~111 MB backward
+    VMEM — the experimental lever bounded in PERF round-14."""
+    import os
+
+    L_target = int(os.environ.get("SRT_JOINT_LANES", "128"))
     U1p = 64 if U1 <= 64 else _round_up(U1, 128)
-    TF = 2 if U1p == 64 else 1
+    TF = max(L_target // U1p, 1)
     L = TF * U1p
     Tp = _round_up(T, TF)
     S = Tp // TF
@@ -75,11 +82,14 @@ def joint_planes_supported(enc_proj, pred_proj, wo, ids) -> bool:
     if batch_shards(B) is None:
         return False
     # backward VMEM budget: logits/softmax/dz f32 + dz bf16 + W_aug bf16 +
-    # dW_aug f32 scratch + row iota; lanes pad to 128-multiples
+    # dW_aug f32 scratch + row iota; lanes pad to 128-multiples.  The
+    # wide-lane experiment (SRT_JOINT_LANES=256) opts into a tighter
+    # ceiling and relies on Mosaic liveness overlap.
     lanes = _round_up(L, 128)
     ja_lanes = _round_up(JA, 128)
     vmem = V * lanes * (4 + 4 + 4 + 2 + 4) + V * ja_lanes * (2 + 4) + 4 * J * lanes
-    return vmem <= 96 * 2**20
+    cap = 96 if lanes <= 128 else 114
+    return vmem <= cap * 2**20
 
 
 # --------------------------------------------------------------------- fwd
@@ -89,12 +99,12 @@ def _build_h(encT, predT, J, U1p, TF, L, JA_base, JA):
     """h_aug [JA, L] bf16: tanh(enc_t + pred) columns for each (frame, u)
     lane, plus the all-ones bias row at JA_base."""
     pT = predT  # [J, U1p]
-    if TF == 2:
-        pT = jnp.concatenate([pT, pT], axis=1)  # [J, L]
+    if TF > 1:
+        pT = jnp.concatenate([pT] * TF, axis=1)  # [J, L]
         e = jnp.concatenate(
             [
-                jnp.broadcast_to(jax.lax.slice_in_dim(encT, 0, 1, axis=1), (J, U1p)),
-                jnp.broadcast_to(jax.lax.slice_in_dim(encT, 1, 2, axis=1), (J, U1p)),
+                jnp.broadcast_to(jax.lax.slice_in_dim(encT, f, f + 1, axis=1), (J, U1p))
+                for f in range(TF)
             ],
             axis=1,
         )
