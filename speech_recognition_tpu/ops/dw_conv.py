@@ -66,22 +66,19 @@ def _spmd_safe_conv(x, kernel):
 
 
 def _auto_spmd_safe() -> bool:
+    """Conservative auto: safe on ANY multi-device run.  The grouped-grad
+    bug needs >1 nontrivial mesh axes, and a pure data-parallel mesh is
+    exact (pinned in tests/test_dw_conv.py::
+    test_raw_grad_exact_on_single_axis_mesh) — but this module cannot see
+    which mesh a caller actually shards over (the active-mesh registry is
+    advisory; ad-hoc NamedSharding bypasses it, and a registry probe here
+    mis-gated exactly that way under test).  Callers that KNOW their mesh
+    is single-axis opt into the all-MXU backward with
+    SRT_SPMD_SAFE_DWCONV=0 — run/train.py does so for its pure-dp mesh."""
     env = os.environ.get("SRT_SPMD_SAFE_DWCONV")
     if env is not None:
         return env == "1"
-    if len(jax.devices()) == 1:
-        return False  # no partitioner, no bug
-    # the grouped-grad mis-partitioning needs a mesh with MORE THAN ONE
-    # nontrivial axis (the grad comes back scaled by the sizes of the axes
-    # the operands aren't sharded over); a pure data-parallel mesh is exact
-    # (pinned in tests/test_dw_conv.py::test_raw_grad_exact_on_single_axis_mesh),
-    # so the common multi-chip dp case keeps the all-MXU backward
-    from ..parallel.mesh import get_active_mesh
-
-    mesh = get_active_mesh()
-    if mesh is None:
-        return True  # unknown sharding context: stay safe
-    return sum(1 for s in mesh.devices.shape if s > 1) > 1
+    return len(jax.devices()) > 1
 
 
 def depthwise_conv1d(x, kernel, *, spmd_safe=None):

@@ -152,6 +152,20 @@ def build_dataset_factory(cfg: TrainConfig, tokenizer, train: bool, shard=None):
 
 
 def main(cfg: TrainConfig):
+    """CLI entry.  Scopes the dw-conv backward-route hint (set at mesh
+    creation below) to this run: in-process callers (the test suite, the
+    auto-resume loop) must not inherit a mesh-specific gradient-path choice."""
+    prev = os.environ.get("SRT_SPMD_SAFE_DWCONV")
+    try:
+        return _main_impl(cfg)
+    finally:
+        if prev is None:
+            os.environ.pop("SRT_SPMD_SAFE_DWCONV", None)
+        else:
+            os.environ["SRT_SPMD_SAFE_DWCONV"] = prev
+
+
+def _main_impl(cfg: TrainConfig):
     logger = get_logger("train")
 
     if cfg.seed:
@@ -301,6 +315,12 @@ def main(cfg: TrainConfig):
             )
     mesh = get_device_mesh(data_parallel=dp, model_parallel=mp)
     multi_device = mesh.devices.size > 1
+    if mp == 1:
+        # this train run's mesh is pure data-parallel: the depthwise-conv
+        # grouped-grad SPMD bug needs >1 nontrivial mesh axes, so keep the
+        # fast all-MXU autodiff backward (ops/dw_conv.py docstring; the
+        # conservative auto gate can't see the mesh from inside the op)
+        os.environ.setdefault("SRT_SPMD_SAFE_DWCONV", "0")
     if multi_device:
         logger.info(f"[+] SPMD over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
         if cfg.fsdp:

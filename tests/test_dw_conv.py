@@ -47,9 +47,11 @@ def test_grads_match_autodiff(K):
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_kernel_grad_exact_where_raw_conv_breaks():
+def test_sharded_kernel_grad_exact_where_raw_conv_breaks(monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
+    # the gate must not be steered by leaked CLI hints from earlier tests
+    monkeypatch.delenv("SRT_SPMD_SAFE_DWCONV", raising=False)
     x = jax.random.uniform(jax.random.PRNGKey(5), (8, 20, 16))
     k = jax.random.normal(jax.random.PRNGKey(6), (5, 1, 16)) * 0.3
 
@@ -96,22 +98,38 @@ def test_raw_grad_exact_on_single_axis_mesh():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-5, atol=1e-6)
 
 
-def test_auto_gate_follows_active_mesh():
-    """spmd_safe=None: fast autodiff on a single-axis active mesh, safe
-    tap-sum on a multi-axis one (and when no mesh is registered)."""
+def test_auto_gate_conservative_and_env_scoped(monkeypatch):
+    """spmd_safe=None must stay SAFE on any multi-device run regardless of
+    what mesh happens to be in the advisory registry (ad-hoc NamedSharding
+    bypasses it — registry-based gating mis-fired under suite-order mesh
+    leakage); SRT_SPMD_SAFE_DWCONV is the explicit caller opt-out, and
+    run/train.py restores it after main() so it cannot leak."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from speech_recognition_tpu.ops.dw_conv import _auto_spmd_safe
     from speech_recognition_tpu.parallel.mesh import active_mesh
 
-    assert _auto_spmd_safe()  # multi-device, no registered mesh: stay safe
+    monkeypatch.delenv("SRT_SPMD_SAFE_DWCONV", raising=False)
+    assert _auto_spmd_safe()  # multi-device: safe
     with active_mesh(Mesh(np.array(jax.devices()[:8]), ("data",))):
-        assert not _auto_spmd_safe()
-    with active_mesh(Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))):
-        assert _auto_spmd_safe()
-    with active_mesh(Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))):
-        # trivial second axis: partitioner can't mis-scale over size-1 axes
-        assert not _auto_spmd_safe()
+        assert _auto_spmd_safe()  # registry is advisory: STILL safe
+    monkeypatch.setenv("SRT_SPMD_SAFE_DWCONV", "0")
+    assert not _auto_spmd_safe()  # explicit opt-out wins
+    # the train CLI's hint is scoped: main() restores the prior env state
+    monkeypatch.delenv("SRT_SPMD_SAFE_DWCONV", raising=False)
+    import os
+
+    from speech_recognition_tpu.run import train as train_mod
+
+    def boom(cfg):
+        assert os.environ.get("SRT_SPMD_SAFE_DWCONV") is None
+        os.environ["SRT_SPMD_SAFE_DWCONV"] = "0"  # what mesh setup does
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(train_mod, "_main_impl", boom)
+    with pytest.raises(RuntimeError):
+        train_mod.main(None)
+    assert os.environ.get("SRT_SPMD_SAFE_DWCONV") is None
 
 
 def test_explicit_spmd_safe_paths_agree():
