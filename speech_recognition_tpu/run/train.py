@@ -639,22 +639,37 @@ def _make_summary_writer(log_dir):
         except Exception:
             return None
 
+    import atexit
+    import shutil
     import tempfile
 
-    from ..utils.io import copy_tree
+    from ..utils.io import copy, path_join, walk_files
 
     local = tempfile.mkdtemp(prefix="srt-tb-")
+    atexit.register(shutil.rmtree, local, ignore_errors=True)
 
     class _RemoteWriter:
         def __init__(self):
             self._w = SummaryWriter(local)
+            self._uploaded = {}  # local path -> (size, mtime) at last upload
 
         def scalar(self, tag, value, step):
             self._w.scalar(tag, value, step)
 
         def flush(self):
             self._w.flush()
-            copy_tree(local, log_dir)
+            # incremental upload: only files whose size/mtime changed
+            for f in walk_files(local):
+                stat = os.stat(f)
+                sig = (stat.st_size, stat.st_mtime_ns)
+                if self._uploaded.get(f) == sig:
+                    continue
+                copy(f, path_join(log_dir, f[len(local) + 1 :]))
+                self._uploaded[f] = sig
+
+        def close(self):
+            self.flush()
+            shutil.rmtree(local, ignore_errors=True)
 
     try:
         return _RemoteWriter()

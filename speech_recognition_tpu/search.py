@@ -697,12 +697,19 @@ class TransducerSearcher:
                 wo_pad, wo_be, bo_be = fast
                 rows = hid.reshape(B * K, J)
                 rows_p = jnp.pad(rows, ((0, 0), (0, Jp - J))) if Jp != J else rows
+                from .ops.pallas.topk_kernel import round_bf16
+
                 vals, idx, lse_r = vocab_topk_pallas(rows_p, wo_pad, bo, k_ext)
                 lse = lse_r.reshape(B, K)
-                zbe = (
-                    jax.lax.dot_general(
-                        rows, wo_be, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                # match the kernel's bf16 logit rounding exactly (it computes
+                # round_bf16(round_bf16(dot) + bias)) so blank-vs-label
+                # ranking can't flip on near-ties between the two paths
+                zbe = round_bf16(
+                    round_bf16(
+                        jax.lax.dot_general(
+                            rows, wo_be, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
                     )
                     + bo_be
                 ).reshape(B, K, 2)

@@ -73,10 +73,12 @@ def restore_weights(path: str, template: Optional[Any] = None) -> Any:
 
 
 def _latest_by_epoch(entries: List[str]) -> Optional[str]:
-    """Newest by the epoch number in the templated checkpoint name, when
-    every entry carries one (the normal case for our own output dirs)."""
+    """Newest by the epoch number in the templated checkpoint name, over the
+    subset of entries that carry one (foreign/non-templated entries in a
+    mixed directory are ignored rather than poisoning the ordering — a
+    lexicographic fallback would rank model-9epoch over model-10epoch)."""
     parsed = [(m, e) for e in entries for m in [_EPOCH_RX.search(os.path.basename(e))] if m]
-    if len(parsed) == len(entries) and parsed:
+    if parsed:
         return max(parsed, key=lambda p: int(p[0].group(1)))[1]
     return None
 

@@ -109,9 +109,11 @@ def walk_files(directory: str) -> List[str]:
             from .gcs import _split  # noqa: local import to keep io TF-free
 
             bucket, prefix = _split(directory)
+            # bucket root has an empty prefix; "/" would match nothing
+            list_prefix = prefix + "/" if prefix else ""
             return sorted(
                 f"gs://{bucket}/{name}"
-                for name in gcs.list_objects(bucket, prefix + "/")
+                for name in gcs.list_objects(bucket, list_prefix)
                 if not name.endswith("/")
             )
         gfile = _gfile()
