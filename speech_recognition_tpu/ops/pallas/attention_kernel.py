@@ -52,22 +52,27 @@ def fused_mhsa_supported(B, T, D, num_heads, dtype) -> bool:
     """Shapes the kernel pair handles well: tile-aligned T/D, 64-lane-aligned
     head width, batch layable over the data mesh axis, VMEM headroom for the
     per-example blocks plus the [T, T] f32 intermediates."""
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("fused_mhsa", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if dtype not in (jnp.bfloat16, jnp.float32):
-        return False
+        return decline(f"dtype {dtype} not in (bfloat16, float32)")
     if D % num_heads:
-        return False
+        return decline(f"model dim {D} % heads {num_heads}")
     d = D // num_heads
     if T % 128 or D % 128 or d % 64:
-        return False
+        return decline(f"unaligned dims (T {T} % 128, D {D} % 128, head dim {d} % 64)")
     shards = batch_shards(B)
     if shards is None:
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     itemsize = jnp.dtype(dtype).itemsize
     # 5 [T, D] operand blocks (x2 buffering), bias, ~6 [T, T] f32 live values
     vmem = 5 * 2 * T * D * itemsize + 8 * T * 4 + 6 * T * T * 4
-    return vmem <= 72 * 2**20
+    if vmem > 72 * 2**20:
+        return decline(f"VMEM estimate {vmem >> 20} MB > 72 MB budget")
+    return True
 
 
 def _softmax_rows(s):

@@ -71,26 +71,34 @@ def beam_pallas_supported(pk, value, emb_table, vocab_w, kernels, rnn_type: str,
     Default OFF until the on-chip A/B (tools/beam_ab.py) validates the
     Mosaic lowering on the real chip — flip with SRT_PALLAS_BEAM=1."""
     if os.environ.get("SRT_PALLAS_BEAM", "0") != "1":
-        return False
+        return False  # default-off experiment: silence is the contract
+    # opted in explicitly — any decline below is loud
+    from .fallback import report_fallback
+
+    decline = lambda reason: report_fallback("beam_mega_kernel", reason)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)")
     if rnn_type != "lstm":
-        return False
+        return decline(f"rnn type {rnn_type!r} != lstm")
     if pk.dtype != jnp.bfloat16:
-        return False
+        return decline(f"projected-key dtype {pk.dtype} != bfloat16")
     B, S, H = pk.shape
     Dv = value.shape[-1]
     V, He = emb_table.shape
     K = beam_size
     shards = batch_shards(B)
     if shards is None:
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     d, Bl = shards
     if Bl % 16 or H % 128 or He % 128 or Dv % 128 or V % 128:
-        return False
+        return decline(
+            f"unaligned dims (local B {Bl} % 16, H {H} / emb {He} / value {Dv} / V {V} % 128)"
+        )
     Vc = _vocab_chunk(V)
     if Vc == 0 or not 2 <= K <= 11 or K * K > 128 or max_token_length < 3:
-        return False
+        return decline(
+            f"beam constraints (V chunk {Vc}, K {K} in [2,11], K*K <= 128, max len {max_token_length} >= 3)"
+        )
     R = K * Bl
     Lp = -(-max_token_length // 128) * 128
     resident = (
@@ -106,7 +114,9 @@ def beam_pallas_supported(pk, value, emb_table, vocab_w, kernels, rnn_type: str,
         + (2 * K + 4) * R * 128 * 4       # top-k register planes
         + R * Dv * 4 + K * Bl * S * 4     # ctx + probs transients
     )
-    return resident <= 110 * 2**20
+    if resident > 110 * 2**20:
+        return decline(f"VMEM estimate {resident >> 20} MB > 110 MB budget")
+    return True
 
 
 def _beam_step_math(n_cells, K, V, Vc, chunk, eos_id, pad_id, alpha, beta,

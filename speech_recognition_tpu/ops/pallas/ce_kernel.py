@@ -33,21 +33,28 @@ from .sharding import batch_shards, bspec, pallas_backend_ok, shard_over_batch
 
 
 def ce_vocab_pallas_supported(hid, W) -> bool:
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("ce_vocab", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if hid.dtype != jnp.bfloat16:
-        return False
+        return decline(f"hidden dtype {hid.dtype} != bfloat16")
     N, B, H = hid.shape
     V = W.shape[-1]
     shards = batch_shards(B)  # multi-device: kernels run per data-shard
     if shards is None:
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     Bl = shards[1]
+    if Bl % 8 or H % 128 or V % 128:
+        return decline(f"unaligned dims (local B {Bl} % 8, H {H} % 128, V {V} % 128)")
     # backward budget per kernel instance (the heavier direction): logits +
     # dlogits f32 tiles, resident W bf16, dW/db f32 scratch, per-step
     # hid/dhid blocks and the [B,128] stream blocks
     vmem = 2 * Bl * V * 4 + W.size * 2 + (H + 1) * V * 4 + 2 * Bl * H * 2 + 4 * Bl * 128 * 4
-    return Bl % 8 == 0 and H % 128 == 0 and V % 128 == 0 and vmem <= 72 * 2**20
+    if vmem > 72 * 2**20:
+        return decline(f"backward VMEM estimate {vmem >> 20} MB > 72 MB budget")
+    return True
 
 
 def _fwd_kernel(refs):

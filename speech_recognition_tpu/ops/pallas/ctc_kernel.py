@@ -38,22 +38,27 @@ def _pad_k(K: int) -> int:
 
 
 def vocab_emissions_supported(hid, W, ids) -> bool:
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("ctc_vocab_emissions", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if hid.dtype != jnp.bfloat16:
-        return False
+        return decline(f"hidden dtype {hid.dtype} != bfloat16")
     B, T, H = hid.shape
     V = W.shape[-1]
     Kp = _pad_k(ids.shape[-1])
     if H % 128 or V % 128:
-        return False
+        return decline(f"unaligned dims (H {H} % 128, V {V} % 128)")
     if batch_shards(B) is None:  # multi-device: kernels run per data-shard
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     # backward budget per kernel instance (grid over B, so the tiles are
     # per-example and batch-independent): logits + dlogits f32 tiles,
     # resident W bf16, onehot f32, dW/db f32 scratch, per-step blocks
     vmem = 2 * T * V * 4 + W.size * 2 + V * Kp * 4 + (H + 1) * V * 4 + 2 * T * H * 2 + 3 * T * 128 * 4
-    return vmem <= 72 * 2**20
+    if vmem > 72 * 2**20:
+        return decline(f"backward VMEM estimate {vmem >> 20} MB > 72 MB budget")
+    return True
 
 
 def _fwd_kernel(refs):

@@ -44,19 +44,24 @@ DEFAULT_CHUNK = 64
 def decoder_pallas_supported(emb, pk, value, kernels) -> bool:
     """Shape/dtype gate: the kernel assumes lane-aligned dims and a batch
     that satisfies the bf16 sublane tile (per data-shard under a mesh)."""
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("las_decoder", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     N, B, He = emb.shape
     _, S, H = pk.shape
     Dv = value.shape[-1]
     if emb.dtype != jnp.bfloat16:
-        return False
+        return decline(f"embedding dtype {emb.dtype} != bfloat16")
     shards = batch_shards(B)  # multi-device: kernels run per data-shard
     if shards is None:
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     d, Bl = shards
     if Bl % 16 or H % 128 or He % 128 or Dv % 128:
-        return False
+        return decline(
+            f"unaligned dims (local B {Bl} % 16, H {H} / emb {He} / value {Dv} % 128)"
+        )
     # per-instance VMEM: resident pk/value blocks (per-shard), weight blocks
     # (qw + per-cell kernel/rkernel/bias/mask), f32 carry scratch, and the
     # per-step stream blocks (emb/mask/z/cp/hidden/...)
@@ -67,7 +72,9 @@ def decoder_pallas_supported(emb, pk, value, kernels) -> bool:
         in_dim = H
     resident += H * H * 2 + 2 * Bl * H * 4  # qw + f32 h/c scratch
     resident += Bl * (He + 2 * H + 4 * H * len(kernels)) * 2 * 2  # step blocks (x2 buffering)
-    return resident <= 72 * 2**20
+    if resident > 72 * 2**20:
+        return decline(f"VMEM estimate {resident >> 20} MB > 72 MB budget")
+    return True
 
 
 def _sigmoid(x):

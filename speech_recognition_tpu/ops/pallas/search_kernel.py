@@ -52,23 +52,28 @@ def greedy_pallas_supported(pk, value, emb_table, vocab_w, kernels, rnn_type: st
     """Shape/dtype gate mirroring decoder_pallas_supported, plus the
     resident embedding table / vocab projection and the [B,V] logits and
     one-hot temporaries this kernel additionally keeps in VMEM."""
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("greedy_search", reason, **kw)
     if os.environ.get("SRT_PALLAS_SEARCH", "1") != "1":
-        return False
+        return decline("disabled via SRT_PALLAS_SEARCH=0", loud=False)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if rnn_type != "lstm":
-        return False
+        return decline(f"rnn type {rnn_type!r} != lstm")
     if pk.dtype != jnp.bfloat16:
-        return False
+        return decline(f"projected-key dtype {pk.dtype} != bfloat16")
     B, S, H = pk.shape
     Dv = value.shape[-1]
     V, He = emb_table.shape
     shards = batch_shards(B)
     if shards is None:
-        return False
+        return decline(f"batch {B} not shardable over the data mesh axis")
     d, Bl = shards
     if Bl % 16 or H % 128 or He % 128 or Dv % 128 or V % 128:
-        return False
+        return decline(
+            f"unaligned dims (local B {Bl} % 16, H {H} / emb {He} / value {Dv} / V {V} % 128)"
+        )
     resident = (pk.size + value.size) * 2 // d + pk.size * 4 // (d * H)  # pk/value + f32 bias
     resident += (V * He + H * V) * 2 + V * 4  # embedding + vocab W (bf16) + vocab bias f32
     in_dim = He + Dv
@@ -78,7 +83,9 @@ def greedy_pallas_supported(pk, value, emb_table, vocab_w, kernels, rnn_type: st
     resident += H * H * 2 + 2 * Bl * H * 4  # qw + f32 h/c scratch
     resident += Bl * V * 2 + Bl * 128 * 4  # one-hot scratch + ended scratch
     resident += 2 * Bl * V * 4  # logits f32 + iota temporaries
-    return resident <= 100 * 2**20
+    if resident > 100 * 2**20:
+        return decline(f"VMEM estimate {resident >> 20} MB > 100 MB budget")
+    return True
 
 
 def _greedy_kernel(n_cells, chunk, bos_id, eos_id, pad_id, refs):

@@ -68,22 +68,30 @@ def _vocab_chunk(V: int) -> int:
 
 def vocab_topk_pallas_supported(hid, W, k: int) -> bool:
     """Gate: bf16 operands, lane/sublane-aligned dims, VMEM budget."""
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("vocab_topk", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if hid.dtype != jnp.bfloat16:
-        return False
+        return decline(f"hidden dtype {hid.dtype} != bfloat16")
     R, H = hid.shape
     V = W.shape[-1]
     Vc = _vocab_chunk(V)
     shards = batch_shards(R)  # rows are independent: shard over 'data'
     if shards is None:
-        return False
+        return decline(f"row count {R} not shardable over the data mesh axis")
     Rl = shards[1]
     if Vc == 0 or Rl % 16 or H % 128 or not 0 < k <= 16:
-        return False
+        return decline(
+            f"unaligned dims or k (local rows {Rl} % 16, H {H} % 128 — pad H "
+            f"to a 128 multiple at the call site — V {V} chunk {Vc}, k {k} <= 16)"
+        )
     # resident: W bf16 + hid + f32 logits tile + 2k register planes + outs
     vmem = W.size * 2 + Rl * H * 2 + Rl * Vc * 4 + (2 * k + 4) * Rl * 128 * 4
-    return vmem <= 96 * 2**20
+    if vmem > 96 * 2**20:
+        return decline(f"VMEM estimate {vmem >> 20} MB > 96 MB budget")
+    return True
 
 
 def streaming_vocab_topk(hid, w_ref, b_ref, V: int, Vc: int, k: int):

@@ -66,30 +66,56 @@ def _layout(T: int, U1: int, J: int):
     return U1p, TF, L, Tp, S, JA_base, JA
 
 
+def _bwd_vmem_bytes(V: int, J: int, L: int, JA: int) -> int:
+    """Backward VMEM footprint from the actual (V, J, lanes, JA): logits/
+    softmax/dz f32 + dz bf16 + W_aug bf16 + dW_aug f32 scratch + row iota;
+    lanes pad to 128-multiples."""
+    lanes = _round_up(L, 128)
+    ja_lanes = _round_up(JA, 128)
+    return V * lanes * (4 + 4 + 4 + 2 + 4) + V * ja_lanes * (2 + 4) + 4 * J * lanes
+
+
 def joint_planes_supported(enc_proj, pred_proj, wo, ids) -> bool:
+    from .fallback import report_fallback
+
+    decline = lambda reason, **kw: report_fallback("transducer_joint", reason, **kw)
     if not pallas_backend_ok():
-        return False
+        return decline("backend is not TPU (SRT_PALLAS_FORCE=1 interprets)", loud=False)
     if enc_proj.dtype != jnp.bfloat16 or pred_proj.dtype != jnp.bfloat16:
-        return False
+        return decline(
+            f"joint-input dtypes ({enc_proj.dtype}, {pred_proj.dtype}) != bfloat16"
+        )
     B, T, J = enc_proj.shape
     U1 = pred_proj.shape[1]
     V = wo.shape[-1]
     if V % 128 or J % 8:
-        return False
+        return decline(f"unaligned dims (V {V} % 128, J {J} % 8)")
     U1p, TF, L, Tp, S, JA_base, JA = _layout(T, U1, J)
     if U1 > 512:
-        return False
+        return decline(f"label width U+1 = {U1} > 512")
     if batch_shards(B) is None:
-        return False
-    # backward VMEM budget: logits/softmax/dz f32 + dz bf16 + W_aug bf16 +
-    # dW_aug f32 scratch + row iota; lanes pad to 128-multiples.  The
-    # wide-lane experiment (SRT_JOINT_LANES=256) opts into a tighter
+        return decline(f"batch {B} not shardable over the data mesh axis")
+    # The wide-lane experiment (SRT_JOINT_LANES=256) opts into a tighter
     # ceiling and relies on Mosaic liveness overlap.
     lanes = _round_up(L, 128)
-    ja_lanes = _round_up(JA, 128)
-    vmem = V * lanes * (4 + 4 + 4 + 2 + 4) + V * ja_lanes * (2 + 4) + 4 * J * lanes
+    vmem = _bwd_vmem_bytes(V, J, L, JA)
     cap = 96 if lanes <= 128 else 114
-    return vmem <= cap * 2**20
+    if vmem > cap * 2**20:
+        reason = f"backward VMEM estimate {vmem >> 20} MB > {cap} MB budget"
+        if lanes > 128:
+            # the lane width is the one knob that shrinks the footprint:
+            # compute the widest SRT_JOINT_LANES whose layout fits
+            for lt in (256, 128):
+                if lt >= lanes:
+                    continue
+                U1p2 = 64 if U1 <= 64 else _round_up(U1, 128)
+                L2 = max(lt // U1p2, 1) * U1p2
+                cap2 = 96 if _round_up(L2, 128) <= 128 else 114
+                if _bwd_vmem_bytes(V, J, L2, JA) <= cap2 * 2**20:
+                    reason += f"; SRT_JOINT_LANES={lt} would fit"
+                    break
+        return decline(reason)
+    return True
 
 
 # --------------------------------------------------------------------- fwd

@@ -179,6 +179,12 @@ def _main_impl(cfg: TrainConfig):
             if type(v) in (int, float, str):
                 fout.write(f"{k:25}: {v}\n")
                 logger.info(f"{k:25}: {v}")
+        # the SRT_* env flags decide which compiled programs actually run —
+        # they are config, so they belong in the reproducibility dump too
+        from ..utils.srt_flags import effective_flags
+
+        for k, v in effective_flags().items():
+            fout.write(f"{k:25}: {v}\n")
     from ..utils import copy as copy_file
 
     copy_file(cfg.data_config_path, path_join(cfg.output_path, "data-config.yml"))

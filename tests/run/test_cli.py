@@ -60,6 +60,12 @@ def test_train_cli(tmp_path, model_config):
 
     out = tmp_path / "output"
     assert (out / "train_configs.txt").exists()
+    # reproducibility dump includes the effective SRT_* fast-path flags
+    from speech_recognition_tpu.utils.srt_flags import SRT_FLAG_DEFAULTS
+
+    dump = (out / "train_configs.txt").read_text()
+    for flag in SRT_FLAG_DEFAULTS:
+        assert flag in dump, f"{flag} missing from train_configs.txt"
     assert (out / "data-config.yml").exists()
     models_dir = out / "models"
     checkpoints = list(models_dir.iterdir())
