@@ -219,6 +219,13 @@ class TransducerConfig(ModelConfig):
     pad_index: int
     # rematerialize encoder block activations in the backward pass
     remat: bool = False
+    # pruned (banded) lattice: evaluate the joint only on a band of this
+    # many label slots per encoder frame (k2-style pruned RNN-T;
+    # ops/transducer_pruned.py).  0 = exact dense lattice.  8 cuts the
+    # joint FLOPs 8x at libri shapes with the terminal/start nodes always
+    # in band; rows whose labels outnumber what the band can carry are
+    # pruned to +inf and excluded from the batch loss.
+    pruned_range: int = 0
 
     model_name: str = "Transducer"
 
@@ -238,7 +245,10 @@ class TransducerConfig(ModelConfig):
             "blank_index",
             "pad_index",
             "remat",
+            "pruned_range",
         )
+        if self.pruned_range < 0:
+            raise ConfigValidationError("'pruned_range' must be >= 0 (0 = dense)")
         if self.encoder_dim % self.num_attention_heads:
             raise ConfigValidationError("'encoder_dim' must divide by 'num_attention_heads'")
         if (self.encoder_dim // self.num_attention_heads) % 2:
@@ -264,6 +274,7 @@ class TransducerConfig(ModelConfig):
             blank_index=self.blank_index,
             pad_index=self.pad_index,
             remat=self.remat,
+            pruned_range=self.pruned_range,
         )
 
 

@@ -53,6 +53,9 @@ class Transducer(ModelProto):
     blank_index: int = 0
     pad_index: int = 0
     remat: bool = False
+    # pruned (banded) lattice width: evaluate the joint on only this many
+    # label slots per frame (ops/transducer_pruned.py); 0 = exact dense
+    pruned_range: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -142,11 +145,15 @@ class Transducer(ModelProto):
     # ------------------------------------------------------------ framework
     def get_loss_fn(self):
         blank, pad = self.blank_index, self.pad_index
+        pruned = self.pruned_range
 
-        def _planes(outputs, ids):
+        def _planes(outputs, ids, frame_lens, label_lens):
             """Fused Pallas joint (logits never touch HBM; ops/pallas/
             transducer_kernel.py, 2657 -> see PERF round-14) when supported,
-            else the XLA scan.  SRT_FUSED_JOINT=0 forces the scan."""
+            else the XLA scan.  SRT_FUSED_JOINT=0 forces the scan.  With
+            ``pruned_range`` set, the banded joint (ops/transducer_pruned.py
+            + ops/pallas/band_kernel.py) evaluates only an s_range-wide
+            label band per frame — a U1/s_range FLOP cut."""
             import os
 
             from ..ops.pallas.transducer_kernel import (
@@ -161,6 +168,10 @@ class Transducer(ModelProto):
                 outputs["joint_bias"],
                 ids,
             )
+            if pruned:
+                from ..ops.transducer_pruned import pruned_log_planes
+
+                return pruned_log_planes(blank, pruned, *args, frame_lens, label_lens)
             if os.environ.get("SRT_FUSED_JOINT", "1") == "1" and joint_planes_supported(
                 outputs["enc_proj"], outputs["pred_proj"], outputs["joint_kernel"], ids
             ):
@@ -182,10 +193,15 @@ class Transducer(ModelProto):
             is excluded."""
             label_lens = jnp.maximum(jnp.sum(y_true != pad, axis=-1) - 1, 0).astype(jnp.int32)
             ids = jnp.where(y_true == pad, 0, y_true)[:, :-1]
-            lpb, lpe = _planes(outputs, ids)
             frame_lens = jnp.maximum(outputs["frame_lens"], 1)
+            lpb, lpe = _planes(outputs, ids, frame_lens, label_lens)
             per_seq = transducer_loss(lpb, lpe, frame_lens, label_lens)
             valid = label_lens > 0
+            # pruned lattice: rows whose labels outnumber what the band can
+            # carry have no in-band path — their loss sits at the -1e30
+            # floor's magnitude; exclude them rather than poison the mean
+            # (their occupancy gradients are already exactly zero)
+            valid = valid & (per_seq < 1e29)
             normed = jnp.where(valid, per_seq / jnp.maximum(label_lens, 1), 0.0)
             return jnp.sum(normed) / jnp.maximum(jnp.sum(valid), 1)
 

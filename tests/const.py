@@ -26,6 +26,7 @@ TEST_DS_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "deepspeech_mini_for_test.y
 TEST_DS_MOE_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "deepspeech_moe_mini_for_test.yml")
 TEST_CONFORMER_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "conformer_mini_for_test.yml")
 TEST_TRANSDUCER_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "transducer_mini_for_test.yml")
+TEST_TRANSDUCER_PRUNED_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "transducer_pruned_mini_for_test.yml")
 TEST_LAS_KSPON_CONFIG = os.path.join(TEST_MODEL_CONFIG_DIR, "las_mini_kspon_for_test.yml")
 
 # read-only upstream fixtures used solely for parity checks (skipped if absent)

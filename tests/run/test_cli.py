@@ -18,11 +18,16 @@ from ..const import (
     TEST_DS_CONFIG,
     TEST_CONFORMER_CONFIG,
     TEST_TRANSDUCER_CONFIG,
+    TEST_TRANSDUCER_PRUNED_CONFIG,
     TEST_DS_MOE_CONFIG,
     TEST_LAS_CONFIG,
     TEST_LAS_KSPON_CONFIG,
     WAV_DATASET_PATH,
 )
+
+# slow tier: excluded from the default run (pyproject addopts); run with
+# `-m interferable` or `-m ""` — CLI end-to-end suites (full train/evaluate/inference runs)
+pytestmark = pytest.mark.interferable
 
 MINI_DATA_CONFIG = os.path.join(TEST_DATA_DIR, "mini_data_config.yml")
 
@@ -348,6 +353,37 @@ def test_train_and_evaluate_cli_transducer(tmp_path):
             lines = f.read().strip().split("\n")
         assert lines[0].startswith("Prediction\tTarget")
         assert len(lines) == 3
+
+
+def test_train_cli_transducer_pruned(tmp_path):
+    """Pruned (banded) lattice knob end-to-end: train with pruned_range set,
+    then decode the checkpoint with the DENSE config — same model family,
+    identical checkpoint layout (the knob only changes the training
+    objective's evaluation set)."""
+    from speech_recognition_tpu.configs import TrainConfig
+    from speech_recognition_tpu.run.evaluate import main as eval_main, parser as eval_parser
+    from speech_recognition_tpu.run.train import main as train_main, parser as train_parser
+
+    args = _train_args(tmp_path, TEST_TRANSDUCER_PRUNED_CONFIG)
+    train_main(TrainConfig(**vars(train_parser.parse_args(args))))
+    ckpts = sorted((tmp_path / "output" / "models").iterdir())
+    assert len(ckpts) == 2
+
+    out_tsv = str(tmp_path / "eval_pruned_ckpt.tsv")
+    eval_main(eval_parser.parse_args([
+        "--data-config", MINI_DATA_CONFIG,
+        "--model-config", TEST_TRANSDUCER_CONFIG,  # dense config, same ckpt
+        "--dataset-paths", WAV_DATASET_PATH,
+        "--model-path", str(ckpts[-1]),
+        "--sp-model-path", SP_MODEL_LIBRI,
+        "--output-path", out_tsv,
+        "--batch-size", "2",
+        "--device", "CPU",
+    ]))
+    with open(out_tsv) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].startswith("Prediction\tTarget")
+    assert len(lines) == 3
 
 
 def test_train_cli_fsdp(tmp_path):

@@ -16,6 +16,10 @@ import pytest
 
 from speech_recognition_tpu.utils import gcs, io
 
+# slow tier: excluded from the default run (pyproject addopts); run with
+# `-m interferable` or `-m ""` — fake-GCS end-to-end CLI runs
+pytestmark = pytest.mark.interferable
+
 
 class FakeGCSHandler(BaseHTTPRequestHandler):
     store = {}  # (bucket, name) -> bytes

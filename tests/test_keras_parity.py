@@ -17,6 +17,10 @@ tf = pytest.importorskip("tensorflow")
 
 from speech_recognition_tpu.ops.rnn import RNN
 
+# slow tier: excluded from the default run (pyproject addopts); run with
+# `-m interferable` or `-m ""` — Keras cell parity (TF)
+pytestmark = pytest.mark.interferable
+
 REF_CKPT_DIR = "/root/reference/tests/data/model-checkpoints"
 
 

@@ -22,9 +22,13 @@ import jax.numpy as jnp
 REFERENCE_DIR = "/root/reference"
 REF_CKPT_DIR = os.path.join(REFERENCE_DIR, "tests/data/model-checkpoints")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_CKPT_DIR), reason="reference checkpoints unavailable"
-)
+pytestmark = [
+    # slow tier: excluded from the default run (pyproject addopts)
+    pytest.mark.interferable,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_CKPT_DIR), reason="reference checkpoints unavailable"
+    ),
+]
 
 if REFERENCE_DIR not in sys.path:
     sys.path.insert(0, REFERENCE_DIR)

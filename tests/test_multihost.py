@@ -22,6 +22,10 @@ from speech_recognition_tpu.data.tfrecord import serialize_example, write_record
 
 from .const import SP_MODEL_LIBRI, TEST_DATA_DIR
 
+# slow tier: excluded from the default run (pyproject addopts); run with
+# `-m interferable` or `-m ""` — multi-process host-sharding e2e
+pytestmark = pytest.mark.interferable
+
 
 @pytest.fixture(scope="module")
 def tokenizer():

@@ -21,6 +21,10 @@ from .const import (
     WAV_DATASET_PATH,
 )
 
+# slow tier: excluded from the default run (pyproject addopts); run with
+# `-m interferable` or `-m ""` — learning-curve e2e runs
+pytestmark = pytest.mark.interferable
+
 MINI_DATA_CONFIG = os.path.join(TEST_DATA_DIR, "mini_data_config.yml")
 
 

@@ -93,13 +93,14 @@ def build_conformer():
     return model, variables, step, audio, tokens
 
 
-def build_transducer():
+def build_transducer(pruned_range=0):
     from speech_recognition_tpu.models import Transducer
 
     model = Transducer(
         vocab_size=V, encoder_dim=256, num_encoder_layers=16, num_attention_heads=4,
         conv_kernel_size=32, ffn_expansion=4, subsample_channels=(128, 128),
         pred_dim=320, num_pred_layers=1, joint_dim=320, dropout=0.1, dtype=dtype,
+        pruned_range=pruned_range,
     )
     audio = jax.random.normal(rng, (B, T, 80, 3), dtype)
     # libri-shaped labels: ~40 real sentencepiece tokens + pad to 64
@@ -115,6 +116,9 @@ BUILDERS = {
     "deepspeech2": build_deepspeech2,
     "conformer": build_conformer,
     "transducer": build_transducer,
+    # pruned (banded) lattice, s_range=8 — transducer_small_pruned.yml,
+    # the recommended transducer training config (same model/checkpoints)
+    "transducer_pruned": lambda: build_transducer(pruned_range=8),
 }
 
 
@@ -176,8 +180,27 @@ def main():
         results["families"][name] = measure(name, BUILDERS[name])
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
+    # per-round snapshot (VERDICT r3 #6): regressions in any family must be
+    # a one-line diff, not git archaeology.  Round number comes from ROUND
+    # or the highest driver-written BENCH_r*.json + 1 (the upcoming round).
+    import glob
+    import re
+    import shutil
+
+    root = os.path.dirname(path)
+    round_no = os.environ.get("ROUND")
+    if not round_no:
+        seen = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(root, "BENCH_r*.json"))
+            for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
+            if m
+        ]
+        round_no = f"{max(seen, default=0) + 1:02d}"
+    snap = os.path.join(root, f"BENCH_FAMILIES_r{round_no}.json")
+    shutil.copy(path, snap)
     print(json.dumps(results))
-    print(f"wrote {path}", flush=True)
+    print(f"wrote {path} (+ snapshot {os.path.basename(snap)})", flush=True)
 
 
 if __name__ == "__main__":
