@@ -73,13 +73,26 @@ def band_offsets(frame_lens, label_lens, T: int, s_range: int):
 def band_to_dense(band, p, width: int, fill=_NEG):
     """Scatter banded values [B, T, S] into the dense plane layout
     [B, T, width]: dense[b, t, u] = band[b, t, u - p[b, t]] when the slot
-    is in band, else ``fill``.  Implemented as a gather so autodiff's
-    transpose routes dense cotangents back to their band slots."""
+    is in band, else ``fill``.
+
+    Implemented as S unrolled compare-selects over the static band axis —
+    pure VPU elementwise work that XLA fuses into one kernel.  The obvious
+    ``take_along_axis`` gather formulation lowers to a per-lane dynamic
+    gather that cost 41 ms/step at bench shapes (trace, PERF round-15) —
+    ~40% of the entire banded joint pair — where the select chain is noise.
+    Autodiff of the selects routes each dense cotangent back to its band
+    slot (S masked reductions).  Falls back to the gather for very wide
+    bands where an S-deep select chain would bloat the program."""
     B, T, S = band.shape
     idx = jnp.arange(width, dtype=jnp.int32)[None, None, :] - p[:, :, None]
-    valid = (idx >= 0) & (idx < S)
-    g = jnp.take_along_axis(band, jnp.clip(idx, 0, S - 1), axis=-1)
-    return jnp.where(valid, g, jnp.asarray(fill, band.dtype))
+    if S > 32:
+        valid = (idx >= 0) & (idx < S)
+        g = jnp.take_along_axis(band, jnp.clip(idx, 0, S - 1), axis=-1)
+        return jnp.where(valid, g, jnp.asarray(fill, band.dtype))
+    out = jnp.full((B, T, width), fill, band.dtype)
+    for s in range(S):
+        out = jnp.where(idx == s, band[:, :, s : s + 1], out)
+    return out
 
 
 def _band_gather(pred_proj, ids, p_t, S: int):

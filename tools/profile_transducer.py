@@ -21,7 +21,8 @@ import optax
 from speech_recognition_tpu.models import Transducer
 from speech_recognition_tpu.train import TrainState, linear_warmup_decay, make_train_step
 
-tag = os.environ.get("SRT_PROFILE_TAG", "transducer")
+PRUNED = int(os.environ.get("PRUNED", "0"))  # 0 = dense; N = banded s_range
+tag = os.environ.get("SRT_PROFILE_TAG", "transducer" + (f"_pruned{PRUNED}" if PRUNED else ""))
 outdir = f"/tmp/srt_trace/{tag}"
 
 B, T, V = 128, 1024, 16000
@@ -29,6 +30,7 @@ model = Transducer(
     vocab_size=V, encoder_dim=256, num_encoder_layers=16, num_attention_heads=4,
     conv_kernel_size=32, ffn_expansion=4, subsample_channels=(128, 128),
     pred_dim=320, num_pred_layers=1, joint_dim=320, dropout=0.1, dtype=jnp.bfloat16,
+    pruned_range=PRUNED,
 )
 rng = jax.random.PRNGKey(0)
 audio = jax.random.normal(rng, (B, T, 80, 3), jnp.bfloat16)
