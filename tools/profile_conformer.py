@@ -98,7 +98,8 @@ for e in events:
     by_src[a.get("source", "?").split("/")[-1]] += d
     phase = "bwd" if "transpose(jvp" in t else "fwd"
     m = re.search(r"block\d+/(.*)", t)
-    path = m.group(1) if m else t.rsplit("/", 2)[-2] + "/" + t.rsplit("/", 1)[-1]
+    parts = t.rsplit("/", 2)
+    path = m.group(1) if m else "/".join(parts[-2:])
     path = re.sub(r"ff[12]", "ff", path).rstrip(":")
     by_mod[(phase, path)] += d
 print("--- by module path (leaf ops only)")
