@@ -106,3 +106,72 @@ def test_support_gate(monkeypatch):
     monkeypatch.delenv("SRT_PALLAS_FORCE")
     monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
     assert not joint_planes_supported(enc, pred, wo, ids)
+
+
+def test_shape_sweep_fused_or_loud_fallback(monkeypatch):
+    """VMEM-margin guard (VERDICT r3 #7): over a sweep of (U1, J, V, lane)
+    configs, every shape either FIRES the fused pair (then values match the
+    scan path) or declines LOUDLY through the fallback funnel — no silent
+    scan-path regression is reachable from a config change."""
+    from speech_recognition_tpu.ops.pallas import fallback
+
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    import jax as _jax
+
+    if len(_jax.devices()) != 1:
+        # batch_shards needs the single-device case; mock it like the
+        # gate-fires tests do (tests/test_fastpath_gates.py)
+        from speech_recognition_tpu.ops.pallas import transducer_kernel as tk
+
+        monkeypatch.setattr(tk, "batch_shards", lambda n: (1, n))
+
+    sweep = [
+        # (B, T, J, U1, V, lanes) — mix of firing and declining configs
+        (2, 4, 16, 3, 256, "128"),
+        (2, 4, 16, 3, 256, "256"),     # wide-lane layout
+        (2, 3, 16, 100, 256, "128"),   # U1p=128
+        (2, 3, 16, 600, 256, "128"),   # U1 > 512 -> loud decline
+        (2, 4, 16, 3, 200, "128"),     # V % 128 -> loud decline
+        (2, 4, 12, 3, 256, "128"),     # J % 8 -> loud decline
+    ]
+    for B, T, J, U1, V, lanes in sweep:
+        monkeypatch.setenv("SRT_JOINT_LANES", lanes)
+        enc, pred, wo, bo, ids, cb, ce = _case(7, B, T, J, U1, V)
+        fallback.reset_fallbacks()
+        if joint_planes_supported(enc, pred, wo, ids):
+            lpb_r, lpe_r = joint_log_planes(0, enc, pred, wo, bo, ids)
+            with pltpu.force_tpu_interpret_mode():
+                lpb_f, lpe_f = fused_joint_planes(0, enc, pred, wo, bo, ids)
+            np.testing.assert_allclose(
+                np.asarray(lpb_f), np.asarray(lpb_r), rtol=0, atol=5e-3,
+                err_msg=str((B, T, J, U1, V, lanes)),
+            )
+            np.testing.assert_allclose(
+                np.asarray(lpe_f), np.asarray(lpe_r), rtol=0, atol=5e-3,
+                err_msg=str((B, T, J, U1, V, lanes)),
+            )
+        else:
+            events = [e for e in fallback.fallback_events() if e[0] == "transducer_joint"]
+            assert events, f"silent decline at {(B, T, J, U1, V, lanes)}"
+    monkeypatch.delenv("SRT_JOINT_LANES")
+
+
+def test_vmem_guard_suggests_lane_width(monkeypatch):
+    """When a wide-lane layout busts the VMEM budget, the decline reason
+    must name a narrower SRT_JOINT_LANES that fits."""
+    from speech_recognition_tpu.ops.pallas import fallback
+    from speech_recognition_tpu.ops.pallas import transducer_kernel as tk
+
+    monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
+    monkeypatch.setattr(tk, "batch_shards", lambda n: (1, n))
+    monkeypatch.setenv("SRT_JOINT_LANES", "512")  # TF=8 at U1<=64: L=512
+    fallback.reset_fallbacks()
+    enc = jax.ShapeDtypeStruct((2, 8, 320), jnp.bfloat16)
+    pred = jax.ShapeDtypeStruct((2, 63, 320), jnp.bfloat16)
+    wo = jax.ShapeDtypeStruct((320, 16000), jnp.bfloat16)
+    ids = jax.ShapeDtypeStruct((2, 62), jnp.int32)
+    assert not joint_planes_supported(enc, pred, wo, ids)
+    reasons = [r for k, r in fallback.fallback_events() if k == "transducer_joint"]
+    assert reasons and "VMEM" in reasons[-1]
+    assert "SRT_JOINT_LANES=" in reasons[-1], reasons[-1]
+    monkeypatch.delenv("SRT_JOINT_LANES")
