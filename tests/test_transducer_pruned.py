@@ -286,20 +286,30 @@ def test_fused_banded_nonzero_blank():
 
 
 def test_banded_support_gate(monkeypatch):
+    """Deterministic gate pins: device-environment checks are mocked (the
+    suite's CLI/parallel tests can leak an active-mesh registration, so a
+    raw batch_shards probe here would be order-dependent — CLAUDE.md
+    round-14 lesson)."""
+    from speech_recognition_tpu.ops.pallas import band_kernel
     from speech_recognition_tpu.ops.pallas.band_kernel import banded_planes_supported
 
     enc, pred, wo, bo, ids, *_ = _case(6, 2, 4, 16, 4, 256, bf)
     monkeypatch.setenv("SRT_PALLAS_FORCE", "1")
-    import jax as _jax
-
-    expected = len(_jax.devices()) == 1
-    assert banded_planes_supported(enc, pred, wo, ids, 4) == expected
+    monkeypatch.setattr(band_kernel, "batch_shards", lambda n: (1, n))
+    assert banded_planes_supported(enc, pred, wo, ids, 4)
     assert not banded_planes_supported(
         enc.astype(jnp.float32), pred.astype(jnp.float32), wo, ids, 4
     )
     assert not banded_planes_supported(enc, pred, wo[:, :200], ids, 4)
     assert not banded_planes_supported(enc, pred, wo, ids, 0)
+    # an unshardable batch declines (loudly)
+    monkeypatch.setattr(band_kernel, "batch_shards", lambda n: None)
+    assert not banded_planes_supported(enc, pred, wo, ids, 4)
+    monkeypatch.setattr(band_kernel, "batch_shards", lambda n: (1, n))
+    # backend gate: CPU without SRT_PALLAS_FORCE never fires
     monkeypatch.delenv("SRT_PALLAS_FORCE")
+    import jax as _jax
+
     monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
     assert not banded_planes_supported(enc, pred, wo, ids, 4)
 
