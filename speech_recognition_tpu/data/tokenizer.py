@@ -86,7 +86,13 @@ class _DartsTrie:
             c = data[i]
             node_pos ^= c
             unit = int(units[node_pos])
-            if unit & 0xFF != c:
+            # darts-clone label() is unit & 0x800000FF: bit 31 (the leaf-value
+            # marker) participates in the compare so a LEAF unit whose low
+            # byte collides with the next input byte can never match — without
+            # it the walk XORs a leaf's value bits in as an "offset" and runs
+            # off the array (crashed on real inputs, e.g. "charlie" under the
+            # libri nmt_nfkc charsmap)
+            if unit & 0x800000FF != c:
                 break
             node_pos ^= self._offset(unit)
             if (unit >> 8) & 1:  # has_leaf

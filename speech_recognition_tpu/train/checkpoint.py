@@ -72,15 +72,36 @@ def restore_weights(path: str, template: Optional[Any] = None) -> Any:
     return _checkpointer().restore(path)
 
 
-def _latest_by_epoch(entries: List[str]) -> Optional[str]:
-    """Newest by the epoch number in the templated checkpoint name, over the
-    subset of entries that carry one (foreign/non-templated entries in a
-    mixed directory are ignored rather than poisoning the ordering — a
-    lexicographic fallback would rank model-9epoch over model-10epoch)."""
-    parsed = [(m, e) for e in entries for m in [_EPOCH_RX.search(os.path.basename(e))] if m]
-    if parsed:
-        return max(parsed, key=lambda p: int(p[0].group(1)))[1]
-    return None
+def _pick_latest(entries: List[tuple]) -> Optional[str]:
+    """Pick the newest checkpoint among ``(path, timestamp)`` pairs.
+
+    Templated names (``model-{N}epoch...``) order by epoch number — a
+    lexicographic or mtime fallback would rank model-9epoch over
+    model-10epoch after a clock skew.  A NON-templated entry that is
+    strictly newer than the newest templated one still wins: a converted
+    release checkpoint dropped into a resume directory must not be
+    silently skipped in favor of an older templated save (round-4 advisor
+    finding).  Entries with no usable timestamp carry ts 0.0 and can only
+    win when nothing is templated."""
+    if not entries:
+        return None
+    templated = [
+        (int(m.group(1)), p, ts)
+        for p, ts in entries
+        for m in [_EPOCH_RX.search(os.path.basename(p))]
+        if m
+    ]
+    if not templated:
+        return max(entries, key=lambda e: (e[1], e[0]))[0]
+    best_epoch, best_path, best_ts = max(templated)
+    newer = [
+        (ts, p)
+        for p, ts in entries
+        if not _EPOCH_RX.search(os.path.basename(p)) and ts > best_ts
+    ]
+    if newer:
+        return max(newer)[1]
+    return best_path
 
 
 def _remote_latest(directory: str) -> Optional[str]:
@@ -102,11 +123,7 @@ def _remote_latest(directory: str) -> Optional[str]:
         children[child] = max(children.get(child, 0.0), ts)
     if not children:
         return None
-    paths = [f"{directory}/{c}" for c in children]
-    by_epoch = _latest_by_epoch(paths)
-    if by_epoch:
-        return by_epoch
-    return f"{directory}/" + max(children, key=lambda c: (children[c], c))
+    return _pick_latest([(f"{directory}/{c}", ts) for c, ts in children.items()])
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
@@ -118,21 +135,26 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         gfile = uio._gfile()
         if not gfile.exists(directory):
             return None
+
+        def _gfile_ts(p):
+            try:
+                return float(gfile.stat(p).mtime_nsec) / 1e9
+            except Exception:
+                return 0.0
+
         entries = [
-            uio.path_join(directory, d.rstrip("/"))
+            (path, _gfile_ts(path))
             for d in gfile.listdir(directory)
-            if gfile.isdir(uio.path_join(directory, d))
+            for path in [uio.path_join(directory, d.rstrip("/"))]
+            if gfile.isdir(path)
         ]
-        if not entries:
-            return None
-        return _latest_by_epoch(entries) or sorted(entries)[-1]
+        return _pick_latest(entries)
     if not os.path.isdir(directory):
         return None
     entries = [
-        os.path.join(directory, d)
+        (path, os.path.getmtime(path))
         for d in os.listdir(directory)
-        if os.path.isdir(os.path.join(directory, d))
+        for path in [os.path.join(directory, d)]
+        if os.path.isdir(path)
     ]
-    if not entries:
-        return None
-    return _latest_by_epoch(entries) or max(entries, key=os.path.getmtime)
+    return _pick_latest(entries)

@@ -92,3 +92,19 @@ def test_unknowns_fused(libri):
     # consecutive OOV characters collapse into a single UNK id
     ids = libri.tokenize("Hello")
     assert ids == [2921, 1]
+
+
+def test_darts_leaf_label_collision(libri):
+    """darts-clone label() is ``unit & 0x800000FF``: the bit-31 leaf marker
+    must participate in the label compare.  Without it, a leaf unit whose
+    low byte collides with the next input byte is traversed as if it were a
+    branch and its value bits are XORed in as an offset — an out-of-bounds
+    walk that crashed on real inputs under the libri nmt_nfkc charsmap
+    (round-5 regression)."""
+    # these inputs hit leaf/label collisions in the normalizer trie
+    for text in ("charlie", "alpha alpha", "CHARLIE TANGO ALPHA"):
+        ids = libri.tokenize(text)
+        assert all(0 <= i < libri.vocab_size for i in ids)
+    # uppercase round-trips exactly (the libri model is all-caps)
+    text = "CHARLIE TANGO ALPHA"
+    assert libri.detokenize(libri.tokenize(text)) == text

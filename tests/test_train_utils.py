@@ -83,3 +83,43 @@ def test_async_metric_accumulator_defers_and_sums():
     # drain is idempotent; further pushes keep accumulating
     acc.push({"loss": jnp.float32(100.0), "acc": jnp.float32(0.0)})
     assert acc.totals()["loss"] == sum(range(10)) + 100.0
+
+
+def test_latest_checkpoint_mixed_directory(tmp_path):
+    """Epoch-templated names order by epoch number, but a NON-templated
+    checkpoint that is strictly newer than the newest templated save must
+    win (a converted release ckpt dropped into a resume dir; round-4
+    advisor finding) — and must NOT win when it is older."""
+    import os
+
+    from speech_recognition_tpu.train import latest_checkpoint
+
+    def mkdir_at(name, ts):
+        d = tmp_path / name
+        d.mkdir()
+        os.utime(d, (ts, ts))
+        return str(d)
+
+    # epoch number beats mtime (model-10epoch is the OLDER directory)
+    ten = mkdir_at("model-10epoch-0.2loss_0.5acc", 1000.0)
+    mkdir_at("model-2epoch-0.9loss_0.1acc", 2000.0)
+    assert latest_checkpoint(str(tmp_path)) == ten
+
+    # an older foreign entry is ignored...
+    mkdir_at("converted_release_old", 500.0)
+    assert latest_checkpoint(str(tmp_path)) == ten
+
+    # ...but a strictly newer one wins over the newest templated save
+    fresh = mkdir_at("converted_release_new", 3000.0)
+    assert latest_checkpoint(str(tmp_path)) == fresh
+
+    # all-foreign directory: plain newest-mtime ordering
+    only = tmp_path / "only_foreign"
+    only.mkdir()
+    a = only / "aaa"
+    a.mkdir()
+    os.utime(a, (100.0, 100.0))
+    b = only / "zzz"
+    b.mkdir()
+    os.utime(b, (50.0, 50.0))
+    assert latest_checkpoint(str(only)) == str(a)
