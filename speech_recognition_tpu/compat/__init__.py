@@ -1,3 +1,3 @@
-from .tf_checkpoint import convert_tf_checkpoint
+from .tf_checkpoint import convert_tf_checkpoint, save_tf_checkpoint, to_tf_checkpoint
 
-__all__ = ["convert_tf_checkpoint"]
+__all__ = ["convert_tf_checkpoint", "save_tf_checkpoint", "to_tf_checkpoint"]

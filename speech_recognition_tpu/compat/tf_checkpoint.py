@@ -86,7 +86,94 @@ def convert_and_save(checkpoint_path: str, output_path: str) -> None:
     save_weights(output_path, convert_tf_checkpoint(checkpoint_path))
 
 
-if __name__ == "__main__":  # python -m speech_recognition_tpu.compat.tf_checkpoint in out
-    import sys
+# --------------------------------------------------------------- JAX -> TF
+# The reverse direction: hand a model trained HERE back to the reference
+# ecosystem (its restore path: reference run/evaluate.py:69-79 loads
+# tf.train.Checkpoint attribute-path keys into the Keras model tree).
+# Possible losslessly because the forward mapping is a bijection — the
+# recurrent layers keep Keras parameter layout (ops/rnn.py) and every
+# reference variable has exactly one home in our pytree.
 
-    convert_and_save(sys.argv[1], sys.argv[2])
+
+def _unmap_name(collection: str, path: str) -> str:
+    """Inverse of _map_name: our '/'-joined pytree path -> TF checkpoint key
+    (without the .ATTRIBUTES suffix)."""
+    name = path
+    if collection == "batch_stats":
+        if name.endswith("/mean"):
+            name = name[: -len("/mean")] + "/moving_mean"
+        elif name.endswith("/var"):
+            name = name[: -len("/var")] + "/moving_variance"
+    elif "batch_normalization" in name:
+        # only batch-norm scale/bias become gamma/beta; dense biases stay
+        if name.endswith("/scale"):
+            name = name[: -len("/scale")] + "/gamma"
+        elif name.endswith("/bias"):
+            name = name[: -len("/bias")] + "/beta"
+    name = name.replace("embedding/embedding", "embedding/embeddings")
+    name = re.sub(r"encoder_layer(\d+)", r"encoder_layers/\1", name)
+    name = re.sub(r"decoder_layer(\d+)", r"decoder_layers/\1/cell", name)
+    name = re.sub(r"reccurent_layer(\d+)", r"rnn_layers/\1", name)
+    name = re.sub(r"projection(\d+)", r"projection/\1", name)
+    name = re.sub(r"batch_normalization(\d+)", r"batch_norm/\1", name)
+    name = re.sub(r"conv(\d+)", r"conv_layers/\1", name)
+    return name
+
+
+def to_tf_checkpoint(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten a {'params', 'batch_stats'} pytree into {tf_key: ndarray}
+    with the reference models' attribute-path keys."""
+    import numpy as np
+
+    out: Dict[str, Any] = {}
+
+    def walk(collection, node, prefix):
+        for key, value in node.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                walk(collection, value, path)
+            else:
+                out[_unmap_name(collection, path)] = np.asarray(value)
+
+    for collection in ("params", "batch_stats"):
+        walk(collection, variables.get(collection, {}), "")
+    return out
+
+
+def save_tf_checkpoint(variables: Dict[str, Any], output_path: str) -> str:
+    """Write our weights pytree as a reference-format TF checkpoint.
+
+    Builds a skeleton trackable tree whose attribute paths equal the
+    reference model's (lists for the numeric components, ``tf.Variable``
+    leaves) and writes it with ``tf.train.Checkpoint`` — the emitted keys
+    are byte-identical in form to the reference's own Keras saves
+    (``listener/encoder_layers/0/.../kernel/.ATTRIBUTES/VARIABLE_VALUE``),
+    so the reference restore path accepts it.  Returns the written prefix.
+    Round-trip law pinned in tests/test_reverse_checkpoint.py:
+    convert_tf_checkpoint(save_tf_checkpoint(v)) == v bit-for-bit.
+    """
+    try:
+        import tensorflow as tf  # type: ignore
+    except Exception as e:  # pragma: no cover
+        raise ImportError("TensorFlow is required to write TF checkpoints") from e
+
+    root = tf.train.Checkpoint()
+
+    def child(node, part, next_is_index):
+        if part.isdigit():
+            idx = int(part)
+            while len(node) <= idx:
+                node.append([] if next_is_index else tf.train.Checkpoint())
+            return node[idx]
+        existing = getattr(node, part, None)
+        if existing is None:
+            setattr(node, part, [] if next_is_index else tf.train.Checkpoint())
+        return getattr(node, part)
+
+    for key, value in to_tf_checkpoint(variables).items():
+        parts = key.split("/")
+        node = root
+        for i, part in enumerate(parts[:-1]):
+            node = child(node, part, parts[i + 1].isdigit())
+        setattr(node, parts[-1], tf.Variable(value))
+    return root.write(output_path)

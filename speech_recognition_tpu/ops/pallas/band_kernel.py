@@ -12,14 +12,20 @@ instead of 2, an 8x cut in both grid cells and matmul FLOPs at bench
 shapes (s_range=8 vs U+1=64).
 
 Because the band start varies per frame, the per-lane prediction rows
-cannot be a single per-b block: the host-side prep gathers them into
-``predL [B, Sgrid, J, L]`` (bf16, ~170 MB HBM at bench shapes — read once
-per pass, noise next to the dense path's 1.4 TB), and the backward's
-d_pred scatter uses a per-cell iota-select matmul against the lanes' label
-indices (``uband``) instead of the dense kernel's static lane % U1p map.
-Everything else — the augmented all-ones bias row, the f32 whole-grid
-dW_aug accumulator, denc via the frame-select matmul — is the dense
-kernel's machinery, imported from transducer_kernel.
+cannot be a single per-b block.  Round 15 shipped them as a host-side
+``take_along_axis`` gather into ``predL [B, Sgrid, J, L]`` (bf16, ~170 MB
+HBM at bench shapes, built in the fwd AND rebuilt in the bwd's prep);
+round 16 moves the gather INTO the kernel: each grid cell receives the
+whole (padded) prediction projection ``predT [J, U1p]`` (~40 KB VMEM) and
+forms its lanes with a one-hot select matmul against the lanes' label
+indices (``predL = predT @ selU``, ``selU[u, l] = (u == uband[l])`` —
+exact, one term per output) — the same iota-select matmul the backward's
+d_pred scatter already used, now shared.  This deletes the 170 MB
+write+read+regather entirely (measured: 202 -> ~173 ms/step at bench
+shapes, tools/banded_ab.py).  Everything else — the augmented all-ones
+bias row, the f32 whole-grid dW_aug accumulator, denc via the
+frame-select matmul — is the dense kernel's machinery, imported from
+transducer_kernel.
 
 Equivalence with the XLA banded scan (values and all gradients) is pinned
 in tests/test_transducer_pruned.py (interpret mode); the on-chip step A/B
@@ -42,14 +48,23 @@ _L = 128  # lane count per grid cell (the measured-optimal dense width)
 def _band_layout(T: int, U1: int, S: int):
     """(Sp, TF, Tp, Sgrid, U1p) for the banded tiling: Sp rounds the band
     width up to a power-of-two divisor of the 128 lanes, TF = 128 // Sp
-    frames pack per grid cell, U1p is the dpred output lane width."""
-    Sp = 8
+    frames pack per grid cell, U1p is the dpred output lane width.  Sp=4
+    (TF=32) is the narrowest validated layout — it doubles the frame
+    packing for k2-default band widths (s_range 4-5) and halves the grid
+    cells again vs Sp=8."""
+    Sp = 4
     while Sp < S:
         Sp *= 2
     TF = _L // Sp
     Tp = _round_up(T, TF)
     U1p = 64 if U1 <= 64 else _round_up(U1, 128)
     return Sp, TF, Tp, Tp // TF, U1p
+
+
+# widest band layout covered by the interpret-mode equivalence pins
+# (tests/test_transducer_pruned.py parametrizes Sp in {4, 8, 16, 32});
+# wider bands decline loudly instead of reaching an unvalidated tiling
+_MAX_S = 32
 
 
 def banded_planes_supported(enc_proj, pred_proj, wo, ids, s_range: int) -> bool:
@@ -65,24 +80,47 @@ def banded_planes_supported(enc_proj, pred_proj, wo, ids, s_range: int) -> bool:
     B, T, J = enc_proj.shape
     U1 = pred_proj.shape[1]
     V = wo.shape[-1]
+    if ids.shape[1] + 1 != U1:
+        # the lane label map assumes pred_proj covers exactly ids plus the
+        # leading blank/bos row — anything else means mismatched operands
+        return decline(
+            f"ids width {ids.shape[1]} + 1 != prediction width U+1 = {U1}"
+        )
     if V % 128 or J % 8:
         return decline(f"unaligned dims (V {V} % 128, J {J} % 8)")
-    if not 1 <= s_range <= _L:
-        return decline(f"s_range {s_range} not in [1, {_L}]")
+    if not 1 <= s_range <= _MAX_S:
+        return decline(
+            f"s_range {s_range} not in [1, {_MAX_S}] (validated band layouts)"
+        )
     if U1 > 512:
         return decline(f"label width U+1 = {U1} > 512")
     if batch_shards(B) is None:
         return decline(f"batch {B} not shardable over the data mesh axis")
     # backward VMEM: the dense kernel's 128-lane budget (logits/softmax/dz
-    # f32 + dz bf16 + W_aug bf16 + dW_aug f32 scratch) plus the predL block
+    # f32 + dz bf16 + W_aug bf16 + dW_aug f32 scratch) plus the predT block,
+    # the selU one-hot, and the in-kernel predL lanes
     JA = _round_up(J, 8) + 8
     ja_lanes = _round_up(JA, 128)
     _, _, _, _, U1p = _band_layout(T, U1, s_range)
     vmem = V * _L * (4 + 4 + 4 + 2 + 4) + V * ja_lanes * (2 + 4) + 6 * J * _L
     vmem += J * max(U1p, 128) * 4  # dpred scratch
+    vmem += J * U1p * 2 + U1p * _L * 4 + J * _L * 6  # predT + selU + predL
     if vmem > 96 * 2**20:
         return decline(f"backward VMEM estimate {vmem >> 20} MB > 96 MB budget")
     return True
+
+
+def _pred_lanes(predT, uband_row, dt):
+    """predL [J, L]: lane l's prediction row — ``predT @ selU`` with the
+    one-hot ``selU[u, l] = (u == uband[l])``.  Exactly one term per output,
+    so the matmul IS the gather (bit-identical to take_along_axis) but runs
+    on the MXU from VMEM instead of shipping a 170 MB HBM operand."""
+    U1p = predT.shape[1]
+    urows = jax.lax.broadcasted_iota(jnp.int32, (U1p, _L), 0)
+    selU = (urows == uband_row).astype(predT.dtype)
+    return jax.lax.dot_general(
+        predT, selU, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dt)
 
 
 def _build_h_band(encT, predL, J, Sp, TF, JA_base, JA):
@@ -105,8 +143,10 @@ def _build_h_band(encT, predL, J, Sp, TF, JA_base, JA):
 
 
 def _fwd_kernel(blank, J, Sp, TF, JA_base, JA, *refs):
-    encT_ref, predL_ref, ids_ref, w_ref, out_ref = refs
-    h_aug = _build_h_band(encT_ref[0][0], predL_ref[0][0], J, Sp, TF, JA_base, JA)
+    encT_ref, predT_ref, ids_ref, uband_ref, w_ref, out_ref = refs
+    uband_row = jax.lax.slice_in_dim(uband_ref[0][0], 0, 1, axis=0)  # [1, L]
+    predL = _pred_lanes(predT_ref[0], uband_row, encT_ref.dtype)
+    h_aug = _build_h_band(encT_ref[0][0], predL, J, Sp, TF, JA_base, JA)
     logitsT = jax.lax.dot_general(
         w_ref[:], h_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [V, L] f32, VMEM only
@@ -121,30 +161,32 @@ def _fwd_kernel(blank, J, Sp, TF, JA_base, JA, *refs):
     )
 
 
-def _fwd_invoke(blank, Sp, encT_g, predL, idsrow, w_aug):
+def _fwd_invoke(blank, Sp, encT_g, predT, idsrow, ubandrow, w_aug):
     B, Sg, J, TF = encT_g.shape
     V, JA = w_aug.shape
+    U1p = predT.shape[-1]
     JA_base = _round_up(J, 8)
     const = lambda *bs: pl.BlockSpec(bs, lambda b, s: (0,) * len(bs), memory_space=pltpu.VMEM)
+    per_b = lambda *bs: pl.BlockSpec((1,) + bs, lambda b, s: (b,) + (0,) * len(bs), memory_space=pltpu.VMEM)
     per_bs = lambda *bs: pl.BlockSpec((1, 1) + bs, lambda b, s: (b, s) + (0,) * len(bs), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, blank, J, Sp, TF, JA_base, JA),
         grid=(B, Sg),
-        in_specs=[per_bs(J, TF), per_bs(J, _L), per_bs(8, _L), const(V, JA)],
+        in_specs=[per_bs(J, TF), per_b(J, U1p), per_bs(8, _L), per_bs(8, _L), const(V, JA)],
         out_specs=[per_bs(8, _L)],
         out_shape=[jax.ShapeDtypeStruct((B, Sg, 8, _L), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=120 * 2**20,
         ),
-    )(encT_g, predL, idsrow, w_aug)
+    )(encT_g, predT, idsrow, ubandrow, w_aug)
 
 
 # --------------------------------------------------------------------- bwd
 
 
 def _bwd_kernel(blank, J, Sp, TF, U1p, JA_base, JA, nb, ns, *refs):
-    (encT_ref, predL_ref, ids_ref, uband_ref, w_ref, packed_ref, cot_ref,
+    (encT_ref, predT_ref, ids_ref, uband_ref, w_ref, packed_ref, cot_ref,
      denc_ref, dpred_ref, dw_ref, dpred_scr, dw_scr) = refs
     b, s = pl.program_id(0), pl.program_id(1)
 
@@ -156,7 +198,9 @@ def _bwd_kernel(blank, J, Sp, TF, U1p, JA_base, JA, nb, ns, *refs):
     def _():
         dpred_scr[:] = jnp.zeros_like(dpred_scr)
 
-    h_aug = _build_h_band(encT_ref[0][0], predL_ref[0][0], J, Sp, TF, JA_base, JA)
+    uband_row0 = jax.lax.slice_in_dim(uband_ref[0][0], 0, 1, axis=0)  # [1, L]
+    predL = _pred_lanes(predT_ref[0], uband_row0, encT_ref.dtype)
+    h_aug = _build_h_band(encT_ref[0][0], predL, J, Sp, TF, JA_base, JA)
     logitsT = jax.lax.dot_general(
         w_ref[:], h_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [V, L]
@@ -188,9 +232,9 @@ def _bwd_kernel(blank, J, Sp, TF, U1p, JA_base, JA, nb, ns, *refs):
 
     # d_pred scatter: lane l's label slot is uband[l] (= p + s, clipped);
     # out-of-band lanes carry dpre == 0, so clipped collisions are inert
-    uband_row = jax.lax.slice_in_dim(uband_ref[0][0], 0, 1, axis=0)  # [1, L] i32
+    # (same one-hot as _pred_lanes' gather, f32 for the accumulating dot)
     urows = jax.lax.broadcasted_iota(jnp.int32, (U1p, _L), 0)
-    selU_T = (urows == uband_row).astype(jnp.float32)  # [U1p, L]
+    selU_T = (urows == uband_row0).astype(jnp.float32)  # [U1p, L]
     dpred_scr[:] = dpred_scr[:] + jax.lax.dot_general(
         dpre, selU_T, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [J, U1p]
@@ -209,7 +253,7 @@ def _bwd_kernel(blank, J, Sp, TF, U1p, JA_base, JA, nb, ns, *refs):
         dw_ref[:] = dw_scr[:]
 
 
-def _bwd_invoke(blank, Sp, U1p, encT_g, predL, idsrow, ubandrow, w_aug, packed, cot):
+def _bwd_invoke(blank, Sp, U1p, encT_g, predT, idsrow, ubandrow, w_aug, packed, cot):
     B, Sg, J, TF = encT_g.shape
     V, JA = w_aug.shape
     JA_base = _round_up(J, 8)
@@ -219,7 +263,7 @@ def _bwd_invoke(blank, Sp, U1p, encT_g, predL, idsrow, ubandrow, w_aug, packed, 
     return pl.pallas_call(
         functools.partial(_bwd_kernel, blank, J, Sp, TF, U1p, JA_base, JA, B, Sg),
         grid=(B, Sg),
-        in_specs=[per_bs(J, TF), per_bs(J, _L), per_bs(8, _L), per_bs(8, _L),
+        in_specs=[per_bs(J, TF), per_b(J, U1p), per_bs(8, _L), per_bs(8, _L),
                   const(V, JA), per_bs(8, _L), per_bs(8, _L)],
         out_specs=[per_bs(J, TF), per_b(J, U1p), const(V, JA)],
         out_shape=[
@@ -235,7 +279,7 @@ def _bwd_invoke(blank, Sp, U1p, encT_g, predL, idsrow, ubandrow, w_aug, packed, 
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=120 * 2**20,
         ),
-    )(encT_g, predL, idsrow, ubandrow, w_aug, packed, cot)
+    )(encT_g, predT, idsrow, ubandrow, w_aug, packed, cot)
 
 
 # ------------------------------------------------------------------ driver
@@ -255,13 +299,15 @@ def _prep(blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, p):
         p = jnp.pad(p, ((0, 0), (0, Tp - T)), mode="edge")
     encT_g = jnp.swapaxes(enc_proj.reshape(B, Sg, TF, J), 2, 3)  # [B, Sg, J, TF]
 
-    # per-lane band operands: lane l = f*Sp + s -> u_true = p[t0+f] + s
+    # per-lane band operands: lane l = f*Sp + s -> u_true = p[t0+f] + s.
+    # The prediction rows are NOT gathered here — the kernel one-hot-matmuls
+    # them out of the whole (padded, transposed) projection per cell
+    # (_pred_lanes), so the only per-lane host operands are the int rows.
     u_true = p[:, :, None] + jnp.arange(Sp, dtype=jnp.int32)[None, None, :]  # [B, Tp, Sp]
     u_clip = jnp.clip(u_true, 0, U1 - 1)
-    predL = jnp.take_along_axis(
-        pred_proj, u_clip.reshape(B, Tp * Sp)[:, :, None], axis=1
-    )  # [B, Tp*Sp, J]
-    predL = jnp.swapaxes(predL.reshape(B, Sg, TF * Sp, J), 2, 3)  # [B, Sg, J, L]
+    predT = jnp.swapaxes(
+        jnp.pad(pred_proj, ((0, 0), (0, U1p - U1), (0, 0))), 1, 2
+    )  # [B, J, U1p]
 
     # lane label ids: V (never gathered) when the slot is past the targets
     ids_i = ids.astype(jnp.int32)
@@ -288,7 +334,7 @@ def _prep(blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, p):
         ],
         axis=1,
     )  # [V, JA]
-    return encT_g, predL, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p)
+    return encT_g, predT, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p)
 
 
 def _unpack(packed, T, Tp, S, Sp, TF):
@@ -310,13 +356,13 @@ def fused_banded_planes(blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, 
 
 def _fused_fwd(blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, p):
     B, T, J = enc_proj.shape
-    encT_g, predL, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p) = _prep(
+    encT_g, predT, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p) = _prep(
         blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, p
     )
     (packed,) = shard_over_batch(
         functools.partial(_fwd_invoke, blank_index, Sp),
-        (encT_g, predL, idsrow, w_aug),
-        in_dims=(0, 0, 0, None),
+        (encT_g, predT, idsrow, ubandrow, w_aug),
+        in_dims=(0, 0, 0, 0, None),
         out_specs=(bspec(0, 4),),
     )
     planes = _unpack(packed, T, Tp, s_range, Sp, TF)
@@ -330,7 +376,7 @@ def _fused_bwd(blank_index, s_range, res, cots):
     dlpb, dlpe = cots  # [B, T, S] f32
     B, T, J = enc_proj.shape
     U1 = pred_proj.shape[1]
-    encT_g, predL, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p) = _prep(
+    encT_g, predT, idsrow, ubandrow, w_aug, (Sp, TF, Tp, Sg, U1p) = _prep(
         blank_index, s_range, enc_proj, pred_proj, wo, bo, ids, p
     )
     JA_base = _round_up(J, 8)
@@ -347,7 +393,7 @@ def _fused_bwd(blank_index, s_range, res, cots):
     cot = pack(dlpb, dlpe)
     denc_g, dpredT, dw_aug = shard_over_batch(
         functools.partial(_bwd_invoke, blank_index, Sp, U1p),
-        (encT_g, predL, idsrow, ubandrow, w_aug, packed, cot),
+        (encT_g, predT, idsrow, ubandrow, w_aug, packed, cot),
         in_dims=(0, 0, 0, 0, None, 0, 0),
         out_specs=(bspec(0, 4), bspec(0, 3), bspec(None, 2)),
         psum_out=(2,),

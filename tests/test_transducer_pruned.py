@@ -219,10 +219,13 @@ def test_pruned_loss_gradients_flow_and_are_finite():
 @pytest.mark.parametrize(
     "seed,B,T,J,U1,V,S",
     [
-        (0, 2, 5, 16, 6, 256, 2),    # Sp=8, TF=16, odd T (frame padding)
-        (1, 3, 16, 8, 5, 128, 3),    # exact Tp
-        (2, 2, 3, 16, 100, 256, 8),  # U1p=128 dpred width
+        (0, 2, 5, 16, 6, 256, 2),    # Sp=4, TF=32, odd T (frame padding)
+        (1, 3, 16, 8, 5, 128, 3),    # Sp=4, exact Tp
+        (4, 2, 6, 16, 6, 256, 4),    # Sp=4 at full band occupancy
+        (5, 2, 5, 16, 8, 256, 8),    # Sp=8 (TF=16)
+        (2, 2, 3, 16, 100, 256, 8),  # Sp=8, U1p=128 dpred width
         (3, 2, 4, 16, 6, 256, 12),   # Sp=16 (TF=8) layout
+        (6, 2, 4, 16, 40, 256, 24),  # Sp=32 (TF=4) — the widest gated layout
     ],
 )
 def test_fused_banded_matches_xla(seed, B, T, J, U1, V, S):
@@ -302,6 +305,11 @@ def test_banded_support_gate(monkeypatch):
     )
     assert not banded_planes_supported(enc, pred, wo[:, :200], ids, 4)
     assert not banded_planes_supported(enc, pred, wo, ids, 0)
+    # bands wider than the validated Sp<=32 layouts decline loudly
+    # (round-4 advisor: don't reach an unpinned tiling)
+    assert not banded_planes_supported(enc, pred, wo, ids, 33)
+    # mismatched operand widths (ids must be pred's U+1 minus one)
+    assert not banded_planes_supported(enc, pred, wo, ids[:, :-1], 4)
     # an unshardable batch declines (loudly)
     monkeypatch.setattr(band_kernel, "batch_shards", lambda n: None)
     assert not banded_planes_supported(enc, pred, wo, ids, 4)

@@ -34,6 +34,8 @@ import sys
 import wave
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
 TEST_DATA = os.path.join(ROOT, "tests", "data")
 SP_LIBRI = os.path.join(ROOT, "resources", "sp-models", "sp_model_unigram_16K_libri.model")
 SP_KSPON = os.path.join(ROOT, "resources", "sp-models", "sp_model_unigram_8K_kspon.model")
@@ -142,8 +144,19 @@ def write_model_config(root, tag, pruned_range, encoder_dim=48):
     return path
 
 
+# AB_DEVICE=TPU runs the train/evaluate subprocesses on the real chip (the
+# dense 16K-vocab joint is ~3 s/step on this 1-core CPU host vs ms on chip;
+# quality numbers are identical either way).  Subprocesses are sequential,
+# unbounded, and exit on their own — never SIGTERM'd mid-claim (CLAUDE.md).
+DEVICE = os.environ.get("AB_DEVICE", "CPU").upper()
+
+
 def _run(args, log_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ)
+    if DEVICE == "CPU":
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        env.pop("JAX_PLATFORMS", None)
     with open(log_path, "w") as log:
         proc = subprocess.run(
             [sys.executable, "-m"] + args, cwd=ROOT, env=env,
@@ -185,17 +198,37 @@ def _wer_cer(tsv_path):
     )
 
 
-def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_tsv,
+def make_tfrecord(workdir, tsv, data_cfg, sp_model):
+    """Precompute audio features once (run.make_tfrecord) so the many-epoch
+    training runs don't redo the host frontend every epoch."""
+    _run(
+        [
+            "speech_recognition_tpu.run.make_tfrecord",
+            "--data-config", data_cfg,
+            "--dataset-paths", tsv,
+            "--output-dir", workdir,
+            "--sp-model-path", sp_model,
+        ],
+        os.path.join(workdir, "make_tfrecord.log"),
+    )
+    return os.path.join(
+        workdir, os.path.basename(tsv).rsplit(".", 1)[0] + ".tfrecord"
+    )
+
+
+def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_path,
                     eval_tsvs, n_rows, epochs, steps_per_epoch, batch):
     out = os.path.join(workdir, f"out_{tag}")
+    tfrecord = train_path.endswith(".tfrecord")
     _run(
         [
             "speech_recognition_tpu.run.train",
             "--data-config", data_cfg,
             "--model-config", model_cfg,
             "--sp-model-path", sp_model,
-            "--train-dataset-paths", train_tsv,
-            "--dev-dataset-paths", train_tsv,
+            "--train-dataset-paths", train_path,
+            "--dev-dataset-paths", train_path,
+            *(["--use-tfrecord"] if tfrecord else []),
             "--train-dataset-size", str(n_rows),
             "--output-path", out,
             "--epochs", str(epochs),
@@ -205,7 +238,7 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_tsv,
             "--dev-batch-size", str(batch),
             "--shuffle-buffer-size", str(n_rows),
             "--max-over-policy", "slice",
-            "--device", "CPU",
+            "--device", DEVICE,
             "--seed", "42",
         ],
         os.path.join(workdir, f"train_{tag}.log"),
@@ -233,7 +266,7 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_tsv,
                     "--sp-model-path", sp_model,
                     "--output-path", out_tsv,
                     "--batch-size", str(batch),
-                    "--device", "CPU",
+                    "--device", DEVICE,
                     *beam,
                 ],
                 os.path.join(workdir, f"eval_{tag}_{split_name}_{mode}.log"),
@@ -248,6 +281,7 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_tsv,
 def leg_synthetic(workdir):
     root = os.path.join(workdir, "tone")
     train_tsv, eval_tsv, data_cfg = build_tone_dataset(root)
+    train_rec = make_tfrecord(root, train_tsv, data_cfg, SP_LIBRI)
     out = {}
     epochs = int(os.environ.get("AB_EPOCHS", 60))
     for tag in os.environ.get("AB_TAGS", "dense,pruned8,pruned4").split(","):
@@ -255,7 +289,7 @@ def leg_synthetic(workdir):
         cfg = write_model_config(root, tag, prange)
         print(f"[synthetic] training {tag}...", flush=True)
         out[tag] = train_and_score(
-            root, tag, cfg, data_cfg, SP_LIBRI, train_tsv,
+            root, tag, cfg, data_cfg, SP_LIBRI, train_rec,
             {"train": train_tsv, "heldout": eval_tsv},
             n_rows=48, epochs=epochs, steps_per_epoch=6, batch=8,
         )
@@ -265,12 +299,13 @@ def leg_synthetic(workdir):
 def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=60):
     root = os.path.join(workdir, name)
     os.makedirs(root, exist_ok=True)
+    train_rec = make_tfrecord(root, tsv, data_cfg, sp_model)
     out = {}
     for tag, prange in (("dense", 0), ("pruned8", 8), ("pruned4", 4)):
         cfg = write_model_config(root, tag, prange)
         print(f"[{name}] training {tag}...", flush=True)
         out[tag] = train_and_score(
-            root, tag, cfg, data_cfg, sp_model, tsv,
+            root, tag, cfg, data_cfg, sp_model, train_rec,
             {"train": tsv}, n_rows=2, epochs=epochs, steps_per_epoch=1, batch=2,
         )
     return out
