@@ -116,7 +116,10 @@ def _unmap_name(collection: str, path: str) -> str:
     name = re.sub(r"reccurent_layer(\d+)", r"rnn_layers/\1", name)
     name = re.sub(r"projection(\d+)", r"projection/\1", name)
     name = re.sub(r"batch_normalization(\d+)", r"batch_norm/\1", name)
-    name = re.sub(r"conv(\d+)", r"conv_layers/\1", name)
+    # only DS2's convolution module enumerates convs as a Keras list
+    # (convolution/conv_layers/N); the LAS listener names its stem convs
+    # conv1/conv2 directly (reference las.py Listener attributes)
+    name = re.sub(r"convolution/conv(\d+)", r"convolution/conv_layers/\1", name)
     return name
 
 

@@ -96,6 +96,16 @@ class TrainConfig:
     # all-gather at use sites, gradients reduce-scatter — XLA derives the
     # schedule from the input shardings).  Composes with model_parallel
     fsdp: bool = False
+    # multi-controller bootstrap (one jax process per host — the analog of
+    # the reference's TPUStrategy cluster resolver, reference
+    # utils.py:130-156): when coordinator_address is set, the CLI calls
+    # jax.distributed.initialize(coordinator_address, num_processes,
+    # process_id) before the backend initializes, so jax.devices() spans
+    # every host and the dataset stride-shards per process.  Unset (the
+    # default) = single-process
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     def __post_init__(self):
         required = [

@@ -53,6 +53,9 @@ parser.add_argument("--auto-resume", action="store_true", help="resume from the 
 parser.add_argument("--model-parallel", type=int, help="tensor-parallel degree: shard vocab-dimension parameters over the mesh's 'model' axis (default 1 = pure data parallelism)")
 parser.add_argument("--grad-accum-steps", type=int, help="accumulate gradients over N train steps before each optimizer update (effective batch = N * batch-size; the LR schedule counts optimizer updates)")
 parser.add_argument("--fsdp", action="store_true", help="fully-sharded data parallelism: shard large parameters and optimizer state over the 'data' mesh axis (ZeRO-3)")
+parser.add_argument("--coordinator-address", type=str, help="multi-process bootstrap: host:port of process 0's jax coordination service (requires --num-processes and --process-id)")
+parser.add_argument("--num-processes", type=int, help="multi-process bootstrap: total number of jax processes in the job")
+parser.add_argument("--process-id", type=int, help="multi-process bootstrap: this process's index in [0, num-processes)")
 # fmt: on
 
 
@@ -191,6 +194,28 @@ def _main_impl(cfg: TrainConfig):
     copy_file(cfg.model_config_path, path_join(cfg.output_path, "model-config.yml"))
 
     from .common import build_variables, compute_dtype, count_params, create_model, select_device
+
+    if cfg.coordinator_address:
+        # Multi-controller bootstrap (reference TPUStrategy analog,
+        # reference utils.py:130-156): connect to the coordination service
+        # BEFORE the first backend touch so jax.devices() is the global
+        # view.  On the CPU backend cross-process collectives ride gloo;
+        # the platform must be pinned pre-init or the environment's
+        # preloaded TPU plugin would claim the backend first.
+        if cfg.num_processes is None or cfg.process_id is None:
+            raise ValueError("--coordinator-address requires --num-processes and --process-id")
+        import jax as _jax_boot
+
+        if cfg.device.upper() == "CPU":
+            os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+            _jax_boot.config.update("jax_platforms", "cpu")
+        _jax_boot.distributed.initialize(
+            cfg.coordinator_address, cfg.num_processes, cfg.process_id
+        )
+        logger.info(
+            f"[+] Distributed: process {cfg.process_id}/{cfg.num_processes}"
+            f" via {cfg.coordinator_address}"
+        )
 
     select_device(cfg.device)
 
@@ -618,8 +643,12 @@ def _main_impl(cfg: TrainConfig):
                 lambda x: np.asarray(jax.device_put(x, NamedSharding(mesh, _P()))),
                 variables_out,
             )
+        # EVERY process enters the save: orbax's multi-process protocol
+        # runs cross-process barriers internally and only the primary host
+        # writes files (a process-0-only call deadlocks the barrier —
+        # verified with a 2-process gloo probe, round 16)
+        save_weights(ckpt_path, variables_out)
         if procs == 1 or _jax.process_index() == 0:
-            save_weights(ckpt_path, variables_out)
             logger.info(f"[+] Saved checkpoint to {ckpt_path}")
 
     if writer:

@@ -41,14 +41,22 @@ def _checkpointer():
 
 def save_weights(path: str, variables: Any) -> None:
     """Save {'params': ..., 'batch_stats': ...} to ``path`` (a directory,
-    local or gs://)."""
+    local or gs://).
+
+    Multi-process: EVERY process must call this (orbax synchronizes across
+    processes inside ``save`` and only the primary host touches the
+    filesystem; a process-0-only call blocks the primary at the barrier
+    forever — pinned by tests/test_multihost_process.py).  For gs:// paths
+    the upload itself is primary-host-only on top of that.
+    """
     variables = jax.tree_util.tree_map(np.asarray, variables)
     if uio.is_remote(path):
         staging = tempfile.mkdtemp(prefix="srt-ckpt-save-")
         try:
             local = os.path.join(staging, "ckpt")
             _checkpointer().save(local, variables, force=True)
-            uio.copy_tree(local, path)
+            if jax.process_index() == 0:
+                uio.copy_tree(local, path)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return
