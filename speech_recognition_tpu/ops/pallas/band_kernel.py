@@ -20,9 +20,13 @@ whole (padded) prediction projection ``predT [J, U1p]`` (~40 KB VMEM) and
 forms its lanes with a one-hot select matmul against the lanes' label
 indices (``predL = predT @ selU``, ``selU[u, l] = (u == uband[l])`` —
 exact, one term per output) — the same iota-select matmul the backward's
-d_pred scatter already used, now shared.  This deletes the 170 MB
-write+read+regather entirely (measured: 202 -> ~173 ms/step at bench
-shapes, tools/banded_ab.py).  Everything else — the augmented all-ones
+d_pred scatter already used, now shared.  Measured on chip (round 16,
+PERF.md): value/grad parity PASS, but the FULL train step is UNCHANGED at
+~204 ms — the deleted predL build overlapped with kernel compute, so the
+win is HBM footprint (-170 MB of transient traffic), not step time.  The
+step lever that DID land is the Sp=4 layout below: ``pruned_range: 4``
+runs 153.4 ms/step vs 204 at s_range=8 (tools/family_bench.py
+transducer_pruned4 row).  Everything else — the augmented all-ones
 bias row, the f32 whole-grid dW_aug accumulator, denc via the
 frame-select matmul — is the dense kernel's machinery, imported from
 transducer_kernel.

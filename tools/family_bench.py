@@ -55,6 +55,7 @@ TRAIN_PATHS = {
     "conformer": ("fused_mhsa", "ctc_vocab_emissions"),
     "transducer": ("transducer_joint",),
     "transducer_pruned": ("banded_joint",),
+    "transducer_pruned4": ("banded_joint",),
 }
 
 
@@ -143,7 +144,14 @@ BUILDERS = {
     # objective (resources/configs/transducer_small.yml; same
     # model/checkpoints as dense, quality A/B in tools/pruned_quality_ab.json)
     "transducer_pruned": lambda **kw: build_transducer(pruned_range=8, **kw),
+    # s_range sweep row (k2 defaults to 4-5): measured on demand via
+    # FAMILIES=transducer_pruned4, not part of the default sweep
+    "transducer_pruned4": lambda **kw: build_transducer(pruned_range=4, **kw),
 }
+
+# the default sweep: every shipped family objective (the pruned4 sweep row
+# is measured on demand via FAMILIES=transducer_pruned4)
+DEFAULT_FAMILIES = [n for n in BUILDERS if n != "transducer_pruned4"]
 
 
 def measure(name, builder, reps=None, n_long=8):
@@ -219,7 +227,7 @@ def _snapshot(path):
 
 
 def main():
-    which = os.environ.get("FAMILIES", ",".join(BUILDERS)).split(",")
+    which = os.environ.get("FAMILIES", ",".join(DEFAULT_FAMILIES)).split(",")
     device = jax.devices()[0]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_FAMILIES.json")
     results = {
@@ -256,7 +264,7 @@ CELLS = {
 
 
 def main_shapes():
-    which = os.environ.get("FAMILIES", ",".join(BUILDERS)).split(",")
+    which = os.environ.get("FAMILIES", ",".join(DEFAULT_FAMILIES)).split(",")
     cells = os.environ.get("CELLS", ",".join(CELLS)).split(",")
     device = jax.devices()[0]
     path = os.path.join(
