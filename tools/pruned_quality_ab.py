@@ -116,7 +116,8 @@ def build_tone_dataset(root):
     return train_tsv, eval_tsv, data_cfg
 
 
-def write_model_config(root, tag, pruned_range, encoder_dim=48):
+def write_model_config(root, tag, pruned_range, encoder_dim=None):
+    encoder_dim = encoder_dim or int(os.environ.get("AB_DIM", 48))
     """Mini transducer family config (tests/data/model-configs/
     transducer_mini_for_test.yml sizes, slightly widened so the tone task
     is comfortably learnable), with the objective knob under test."""
@@ -183,7 +184,7 @@ def _parse_losses(log_path):
 
 
 def _wer_cer(tsv_path):
-    from speech_recognition_tpu.measure import levenshtein_distance
+    from speech_recognition_tpu.utils import levenshtein_distance
 
     wers, cers = [], []
     with open(tsv_path) as f:
@@ -220,7 +221,16 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_path,
                     eval_tsvs, n_rows, epochs, steps_per_epoch, batch):
     out = os.path.join(workdir, f"out_{tag}")
     tfrecord = train_path.endswith(".tfrecord")
-    _run(
+    # resume: a finished training (final-epoch checkpoint present) is not
+    # redone — lets a crashed/partial A/B run pick up where it stopped
+    models_dir = os.path.join(out, "models")
+    already = os.path.isdir(models_dir) and any(
+        re.search(rf"model-{epochs}epoch", n) for n in os.listdir(models_dir)
+    )
+    if already:
+        print(f"  [{tag}] training already complete, reusing {out}", flush=True)
+    else:
+        _run(
         [
             "speech_recognition_tpu.run.train",
             "--data-config", data_cfg,
@@ -233,7 +243,11 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_path,
             "--output-path", out,
             "--epochs", str(epochs),
             "--steps-per-epoch", str(steps_per_epoch),
-            "--learning-rate", "3e-3",
+            # near-constant LR: these are overfit-to-WER runs with a few
+            # hundred updates — the CLI's default decay to 1e-5 starves the
+            # late epochs where the transducer learns to emit
+            "--learning-rate", os.environ.get("AB_LR", "3e-3"),
+            "--min-learning-rate", os.environ.get("AB_LR", "3e-3"),
             "--batch-size", str(batch),
             "--dev-batch-size", str(batch),
             "--shuffle-buffer-size", str(n_rows),
@@ -315,7 +329,9 @@ def main():
     import tempfile
 
     legs = os.environ.get("LEGS", "synthetic,libri,kspon").split(",")
-    workdir = tempfile.mkdtemp(prefix="pruned-ab-")
+    # WORKDIR= reuses a previous run's directory (with the finished-training
+    # skip above, a crashed run resumes instead of redoing its trainings)
+    workdir = os.environ.get("WORKDIR") or tempfile.mkdtemp(prefix="pruned-ab-")
     print(f"workdir: {workdir}", flush=True)
     results = {}
     art = os.path.join(ROOT, "tools", "pruned_quality_ab.json")
