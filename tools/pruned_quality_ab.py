@@ -267,8 +267,10 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_path,
     result = {"loss_first": losses[0] if losses else None,
               "loss_last": losses[-1] if losses else None,
               "loss_curve_tail": losses[-8:], "epochs": epochs}
-    for split_name, tsv in eval_tsvs.items():
+    for split_name, (tsv, modes) in eval_tsvs.items():
         for mode, beam in (("greedy", []), ("beam4", ["--beam-size", "4"])):
+            if mode not in modes:
+                continue
             out_tsv = os.path.join(workdir, f"decode_{tag}_{split_name}_{mode}.tsv")
             _run(
                 [
@@ -297,20 +299,28 @@ def leg_synthetic(workdir):
     train_tsv, eval_tsv, data_cfg = build_tone_dataset(root)
     train_rec = make_tfrecord(root, train_tsv, data_cfg, SP_LIBRI)
     out = {}
-    epochs = int(os.environ.get("AB_EPOCHS", 60))
+    # 30 steps/epoch x 80 epochs = 2400 updates (the dense objective leaves
+    # the all-blank optimum at ~1200 updates at dim 64); epoch boundaries
+    # (checkpoint + dev eval) are the wall-clock cost on TPU, so pack them
+    epochs = int(os.environ.get("AB_EPOCHS", 80))
     for tag in os.environ.get("AB_TAGS", "dense,pruned8,pruned4").split(","):
         prange = {"dense": 0, "pruned8": 8, "pruned4": 4}[tag]
         cfg = write_model_config(root, tag, prange)
         print(f"[synthetic] training {tag}...", flush=True)
         out[tag] = train_and_score(
             root, tag, cfg, data_cfg, SP_LIBRI, train_rec,
-            {"train": train_tsv, "heldout": eval_tsv},
-            n_rows=48, epochs=epochs, steps_per_epoch=6, batch=8,
+            {"train": (train_tsv, ("greedy",)),
+             "heldout": (eval_tsv, ("greedy", "beam4"))},
+            n_rows=48, epochs=epochs, steps_per_epoch=30, batch=8,
         )
     return out
 
 
-def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=60):
+def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=None):
+    # 2-row overfit at 1 step/epoch: RNN-T needs a few hundred updates to
+    # leave the all-blank optimum (measured: the tone leg breaks out
+    # between updates ~600-1200 at dim 64)
+    epochs = epochs or int(os.environ.get("AB_FIXTURE_EPOCHS", 60))
     root = os.path.join(workdir, name)
     os.makedirs(root, exist_ok=True)
     train_rec = make_tfrecord(root, tsv, data_cfg, sp_model)
@@ -320,7 +330,8 @@ def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=60):
         print(f"[{name}] training {tag}...", flush=True)
         out[tag] = train_and_score(
             root, tag, cfg, data_cfg, sp_model, train_rec,
-            {"train": tsv}, n_rows=2, epochs=epochs, steps_per_epoch=1, batch=2,
+            {"train": (tsv, ("greedy", "beam4"))},
+            n_rows=2, epochs=epochs, steps_per_epoch=30, batch=2,
         )
     return out
 
