@@ -272,6 +272,12 @@ def train_and_score(workdir, tag, model_cfg, data_cfg, sp_model, train_path,
             if mode not in modes:
                 continue
             out_tsv = os.path.join(workdir, f"decode_{tag}_{split_name}_{mode}.tsv")
+            if os.path.exists(out_tsv):  # resume: re-score, don't re-decode
+                wer, cer = _wer_cer(out_tsv)
+                result[f"{split_name}_{mode}_wer"] = wer
+                result[f"{split_name}_{mode}_cer"] = cer
+                print(f"  [{tag}] {split_name}/{mode} (cached): WER {wer}% CER {cer}%", flush=True)
+                continue
             _run(
                 [
                     "speech_recognition_tpu.run.evaluate",
@@ -323,6 +329,17 @@ def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=None):
     epochs = epochs or int(os.environ.get("AB_FIXTURE_EPOCHS", 60))
     root = os.path.join(workdir, name)
     os.makedirs(root, exist_ok=True)
+    # uppercase the transcripts: the libri sp model is trained on all-caps
+    # LibriSpeech text, so the fixtures' mixed-case rows tokenize UNK-heavy
+    # and decoded-WER endpoints become meaningless (Korean is case-free, so
+    # this is a no-op for kspon)
+    up_tsv = os.path.join(root, "train_upper.tsv")
+    with open(tsv) as fin, open(up_tsv, "w") as fout:
+        fout.write(next(fin))
+        for line in fin:
+            path_col, text = line.rstrip("\n").split("\t", 1)
+            fout.write(f"{os.path.join(os.path.dirname(os.path.abspath(tsv)), path_col)}\t{text.upper()}\n")
+    tsv = up_tsv
     train_rec = make_tfrecord(root, tsv, data_cfg, sp_model)
     out = {}
     for tag, prange in (("dense", 0), ("pruned8", 8), ("pruned4", 4)):
