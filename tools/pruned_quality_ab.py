@@ -334,11 +334,18 @@ def leg_fixture(workdir, name, tsv, data_cfg, sp_model, epochs=None):
     # and decoded-WER endpoints become meaningless (Korean is case-free, so
     # this is a no-op for kspon)
     up_tsv = os.path.join(root, "train_upper.tsv")
+    src_dir = os.path.dirname(os.path.abspath(tsv))
     with open(tsv) as fin, open(up_tsv, "w") as fout:
         fout.write(next(fin))
         for line in fin:
             path_col, text = line.rstrip("\n").split("\t", 1)
-            fout.write(f"{os.path.join(os.path.dirname(os.path.abspath(tsv)), path_col)}\t{text.upper()}\n")
+            # FilePath resolves relative to the tsv's directory — mirror the
+            # audio tree into the leg dir instead of rewriting paths
+            top = path_col.split("/", 1)[0]
+            link = os.path.join(root, top)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src_dir, top), link)
+            fout.write(f"{path_col}\t{text.upper()}\n")
     tsv = up_tsv
     train_rec = make_tfrecord(root, tsv, data_cfg, sp_model)
     out = {}
