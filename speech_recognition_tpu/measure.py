@@ -169,12 +169,16 @@ def ctc_loss_from_hidden(y_true, hid, W, b, blank_index: int, pad_index: int = 0
     when the fused Pallas pair supports the shape (ops/pallas/ctc_kernel.py);
     identical-math XLA projection + `_emission_logprobs` otherwise."""
     from .ops.pallas.ctc_kernel import fused_vocab_emissions, vocab_emissions_supported
+    from .ops.pallas.vocab_pad import pad_vocab_proj
 
     B = hid.shape[0]
     y = y_true.astype(jnp.int32)
     ids = jnp.concatenate([y, jnp.full((B, 1), blank_index, jnp.int32)], axis=1)
-    if vocab_emissions_supported(hid, W, ids):
-        emission = fused_vocab_emissions(hid, W, b, ids)
+    # lane-align an unaligned vocab (kspon 8K) so the fused pair still fires;
+    # exact math + automatic grad slicing (ops/pallas/vocab_pad.py)
+    Wp, bp = pad_vocab_proj(W, b)
+    if vocab_emissions_supported(hid, Wp, ids):
+        emission = fused_vocab_emissions(hid, Wp, bp, ids)
     else:
         logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
         emission = _emission_logprobs(logits, ids)

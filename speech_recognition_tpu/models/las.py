@@ -476,10 +476,14 @@ class LAS(ModelProto):
         where outputs is an int [N,B] preds array (fused) or [N,B,V]
         logits (fallback); y_true must be time-major [N,B]."""
         from ..ops.pallas.ce_kernel import ce_vocab_pallas_supported, fused_ce_vocab
+        from ..ops.pallas.vocab_pad import pad_vocab_proj
 
         W, b = self.vocab_projection_params(params)
-        if ce_vocab_pallas_supported(hid, W):
-            loss, preds = fused_ce_vocab(hid, W, b, y_true, self.pad_id)
+        # lane-align an unaligned vocab (kspon 8K) so the fused pair still
+        # fires; exact math + automatic grad slicing (ops/pallas/vocab_pad.py)
+        Wp, bp = pad_vocab_proj(W, b)
+        if ce_vocab_pallas_supported(hid, Wp):
+            loss, preds = fused_ce_vocab(hid, Wp, bp, y_true, self.pad_id)
             return loss, preds
         logits = hid @ W.astype(hid.dtype) + b.astype(hid.dtype)
         return loss_fn(y_true, logits), logits

@@ -172,10 +172,22 @@ class Transducer(ModelProto):
                 from ..ops.transducer_pruned import pruned_log_planes
 
                 return pruned_log_planes(blank, pruned, *args, frame_lens, label_lens)
-            if os.environ.get("SRT_FUSED_JOINT", "1") == "1" and joint_planes_supported(
-                outputs["enc_proj"], outputs["pred_proj"], outputs["joint_kernel"], ids
-            ):
-                return fused_joint_planes(blank, *args)
+            if os.environ.get("SRT_FUSED_JOINT", "1") == "1":
+                # lane-align an unaligned vocab (kspon 8K) so the fused
+                # pair still fires; exact math + automatic grad slicing
+                # (ops/pallas/vocab_pad.py)
+                from ..ops.pallas.vocab_pad import pad_vocab_proj
+
+                wo_p, bo_p = pad_vocab_proj(
+                    outputs["joint_kernel"], outputs["joint_bias"]
+                )
+                if joint_planes_supported(
+                    outputs["enc_proj"], outputs["pred_proj"], wo_p, ids
+                ):
+                    return fused_joint_planes(
+                        blank, outputs["enc_proj"], outputs["pred_proj"],
+                        wo_p, bo_p, ids,
+                    )
             return joint_log_planes(blank, *args)
 
         def loss_fn(y_true, outputs):

@@ -242,10 +242,16 @@ def pruned_log_planes(
     use_fused = False
     if os.environ.get("SRT_FUSED_JOINT", "1") == "1":
         from .pallas.band_kernel import banded_planes_supported, fused_banded_planes
+        from .pallas.vocab_pad import pad_vocab_proj
 
-        use_fused = banded_planes_supported(enc_proj, pred_proj, wo, ids, s_range)
+        # lane-align an unaligned vocab (kspon 8K) so the fused pair still
+        # fires; exact math + automatic grad slicing (ops/pallas/vocab_pad.py)
+        wo_p, bo_p = pad_vocab_proj(wo, bo)
+        use_fused = banded_planes_supported(enc_proj, pred_proj, wo_p, ids, s_range)
     if use_fused:
-        lpb_band, lpe_band = fused_banded_planes(blank_index, s_range, *args)
+        lpb_band, lpe_band = fused_banded_planes(
+            blank_index, s_range, enc_proj, pred_proj, wo_p, bo_p, ids, p
+        )
     else:
         lpb_band, lpe_band = banded_joint_planes(blank_index, s_range, *args)
     lpb = band_to_dense(lpb_band, p, U1)

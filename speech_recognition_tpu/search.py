@@ -128,15 +128,21 @@ class LASSearcher:
         # fused Pallas decode loop (ops/pallas/search_kernel.py): all decode
         # operands VMEM-resident across the steps; identical outputs
         from .ops.pallas.search_kernel import greedy_pallas_supported, greedy_search_pallas
+        from .ops.pallas.vocab_pad import pad_vocab_proj, pad_vocab_rows
 
         emb, qw, qb, ks, rs, bs, vw, vb = self._decoder_params()
+        # lane-align an unaligned vocab (kspon 8K): zero embedding rows are
+        # never indexed (argmax can't pick a -1e30 pad logit), so outputs
+        # are identical (ops/pallas/vocab_pad.py)
+        emb_p = pad_vocab_rows(emb)
+        vw_p, vb_p = pad_vocab_proj(vw, vb)
         if (
             L > 1
             and len(states) == 2
-            and greedy_pallas_supported(keys, enc_out, emb, vw, ks, self.model.rnn_type)
+            and greedy_pallas_supported(keys, enc_out, emb_p, vw_p, ks, self.model.rnn_type)
         ):
             return greedy_search_pallas(
-                keys, enc_out, mask, qw, qb, emb, vw, vb, ks, rs, bs,
+                keys, enc_out, mask, qw, qb, emb_p, vw_p, vb_p, ks, rs, bs,
                 states[0], states[1], L, self.bos_id, self.eos_id, self.pad_id,
             )
 
@@ -253,11 +259,16 @@ class LASSearcher:
 
         vw = vb = None
         if untiled and os.environ.get("SRT_PALLAS_BEAM_TOPK", "1") == "1":
+            from .ops.pallas.vocab_pad import pad_vocab_proj
+
             p = self.variables["params"]["attend_and_speller"]["feedforward"]
-            hid_probe = jax.ShapeDtypeStruct((B * K, p["kernel"].shape[0]), self.model.dtype)
-            if vocab_topk_pallas_supported(hid_probe, p["kernel"], K):
-                vw = p["kernel"].astype(self.model.dtype)
-                vb = p["bias"].astype(self.model.dtype)
+            # lane-align an unaligned vocab (kspon 8K): -1e30 pad columns
+            # never enter the top-k (ops/pallas/vocab_pad.py)
+            vw_p, vb_p = pad_vocab_proj(p["kernel"], p["bias"])
+            hid_probe = jax.ShapeDtypeStruct((B * K, vw_p.shape[0]), self.model.dtype)
+            if vocab_topk_pallas_supported(hid_probe, vw_p, K):
+                vw = vw_p.astype(self.model.dtype)
+                vb = vb_p.astype(self.model.dtype)
 
         def cond(carry):
             step, tokens, logp, states = carry
@@ -683,23 +694,28 @@ class TransducerSearcher:
         Jp = (J + 127) // 128 * 128  # kernel wants a 128-multiple H; the
         # joint dim is 320, so hid/W zero-pad to 384 (same logits)
         if os.environ.get("SRT_FUSED_TSD", "1") == "1" and k_ext <= 16:
+            from .ops.pallas.vocab_pad import pad_vocab_proj
+
             hid_probe = jax.ShapeDtypeStruct((B * K, Jp), dt)
-            wo_p = jnp.pad(wo, ((0, Jp - J), (0, 0)))
+            # H-pad (zero rows, joint dim 320 -> 384) then lane-align an
+            # unaligned vocab (kspon 8K; -1e30 pad columns never enter the
+            # top-k — ops/pallas/vocab_pad.py)
+            wo_p, bo_p = pad_vocab_proj(jnp.pad(wo, ((0, Jp - J), (0, 0))), bo)
             if vocab_topk_pallas_supported(hid_probe, wo_p, k_ext):
                 be = jnp.array([self.model.blank_index, self.eos_id])
-                fast = (wo_p, wo[:, be].astype(dt), bo[be].astype(jnp.float32))
+                fast = (wo_p, bo_p, wo[:, be].astype(dt), bo[be].astype(jnp.float32))
 
         def joint_scores(enc_t, c_g):
             """One joint evaluation for every live hypothesis:
             (blank_lp, eos_lp, label top-k lp, label top-k ids)."""
             hid = jnp.tanh(enc_t[:, None, :] + c_g)  # [B, K, J] dt
             if fast is not None:
-                wo_pad, wo_be, bo_be = fast
+                wo_pad, bo_pad, wo_be, bo_be = fast
                 rows = hid.reshape(B * K, J)
                 rows_p = jnp.pad(rows, ((0, 0), (0, Jp - J))) if Jp != J else rows
                 from .ops.pallas.topk_kernel import round_bf16
 
-                vals, idx, lse_r = vocab_topk_pallas(rows_p, wo_pad, bo, k_ext)
+                vals, idx, lse_r = vocab_topk_pallas(rows_p, wo_pad, bo_pad, k_ext)
                 lse = lse_r.reshape(B, K)
                 # match the kernel's bf16 logit rounding exactly (it computes
                 # round_bf16(round_bf16(dot) + bias)) so blank-vs-label
