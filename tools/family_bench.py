@@ -55,7 +55,7 @@ TRAIN_PATHS = {
     "conformer": ("fused_mhsa", "ctc_vocab_emissions"),
     "transducer": ("transducer_joint",),
     "transducer_pruned": ("banded_joint",),
-    "transducer_pruned4": ("banded_joint",),
+    "transducer_pruned8": ("banded_joint",),
 }
 
 
@@ -140,18 +140,19 @@ BUILDERS = {
     "deepspeech2": build_deepspeech2,
     "conformer": build_conformer,
     "transducer": build_transducer,
-    # pruned (banded) lattice, s_range=8 — the SHIPPED transducer training
-    # objective (resources/configs/transducer_small.yml; same
-    # model/checkpoints as dense, quality A/B in tools/pruned_quality_ab.json)
-    "transducer_pruned": lambda **kw: build_transducer(pruned_range=8, **kw),
-    # s_range sweep row (k2 defaults to 4-5): measured on demand via
-    # FAMILIES=transducer_pruned4, not part of the default sweep
-    "transducer_pruned4": lambda **kw: build_transducer(pruned_range=4, **kw),
+    # pruned (banded) lattice, s_range=4 — the SHIPPED transducer training
+    # objective (resources/configs/transducer_small.yml pruned_range: 4;
+    # same model/checkpoints as dense, quality A/B in
+    # tools/pruned_quality_ab.json)
+    "transducer_pruned": lambda **kw: build_transducer(pruned_range=4, **kw),
+    # wider-band sweep row (transducer_small_pruned.yml): on demand via
+    # FAMILIES=transducer_pruned8, not part of the default sweep
+    "transducer_pruned8": lambda **kw: build_transducer(pruned_range=8, **kw),
 }
 
-# the default sweep: every shipped family objective (the pruned4 sweep row
-# is measured on demand via FAMILIES=transducer_pruned4)
-DEFAULT_FAMILIES = [n for n in BUILDERS if n != "transducer_pruned4"]
+# the default sweep: every shipped family objective (the wider-band pruned8
+# sweep row is measured on demand via FAMILIES=transducer_pruned8)
+DEFAULT_FAMILIES = [n for n in BUILDERS if n != "transducer_pruned8"]
 
 
 def measure(name, builder, reps=None, n_long=8):
